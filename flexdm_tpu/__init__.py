@@ -1,0 +1,21 @@
+"""flexdm_tpu: a TPU-native framework for flexible multi-modal document models.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+CyberAgentAILab/flex-dm (CVPR 2023, "Towards Flexible Multi-modal Document
+Models"): masked-field prediction over vector-graphic documents (crello) and
+UI layouts (rico), with schema-programmable models driven by a frozen,
+hashable dataset :class:`~flexdm_tpu.data.Schema`.
+
+Design stance (vs. the TF2-eager reference):
+
+* one jit-compiled train step containing *all* per-step randomness (task
+  sampling, MLM masking, token replacement) via explicit ``jax.random`` keys;
+* static ``(B, max_length, C)`` shapes everywhere;
+* SPMD data parallelism via ``jax.sharding`` over a device mesh;
+* Pallas TPU kernels for the attention hot path;
+* a TensorFlow-free host data pipeline (C++ fast path + numpy fallback).
+"""
+
+__version__ = "0.1.0"
+
+from . import data  # noqa: F401

@@ -1,0 +1,181 @@
+"""TFRecord container I/O without TensorFlow.
+
+Record framing (the on-disk format produced by ``tf.io.TFRecordWriter`` and
+consumed by the reference's ``tf.data.TFRecordDataset``, reference
+``src/mfp/mfp/data/spec.py:234-237``)::
+
+    uint64 length
+    uint32 masked_crc32c(length)
+    bytes  data[length]
+    uint32 masked_crc32c(data)
+
+CRC-32C (Castagnoli) with TFRecord's mask rotation.  A C++ fast path
+(``native/libflexdm_io.so``, built from ``native/tfrecord_io.cc``) is used
+when present — it scans a whole file into offsets in one pass — with this
+pure-Python implementation as the portable fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob as globlib
+import os
+import struct
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRC-32C
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE: Optional[np.ndarray] = None
+
+
+def _crc32c_table() -> np.ndarray:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78  # reflected Castagnoli polynomial
+        table = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            table[i] = crc
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    crc = np.uint32(0xFFFFFFFF)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # Byte-serial table loop, vectorizable only via the C++ path; Python is
+    # used for small metadata records and tests.
+    t = table
+    c = int(crc)
+    for b in buf:
+        c = (c >> 8) ^ int(t[(c ^ int(b)) & 0xFF])
+    return c ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Native fast path
+# ---------------------------------------------------------------------------
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Load the optional C++ I/O library (built by `make -C native`)."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for cand in (
+        os.path.join(here, "native", "libflexdm_io.so"),
+        os.path.join(os.path.dirname(__file__), "libflexdm_io.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.flexdm_scan_records.restype = ctypes.c_longlong
+            lib.flexdm_scan_records.argtypes = [
+                ctypes.c_char_p,  # path
+                ctypes.POINTER(ctypes.c_longlong),  # out offsets
+                ctypes.POINTER(ctypes.c_longlong),  # out lengths
+                ctypes.c_longlong,  # capacity
+                ctypes.c_int,  # verify crc
+            ]
+            _NATIVE_LIB = lib
+            break
+    return _NATIVE_LIB
+
+
+def _scan_records_native(path: str, verify: bool) -> Optional[List[bytes]]:
+    lib = _load_native()
+    if lib is None:
+        return None
+    cap = 1 << 20
+    offs = (ctypes.c_longlong * cap)()
+    lens = (ctypes.c_longlong * cap)()
+    n = lib.flexdm_scan_records(
+        path.encode(), offs, lens, cap, 1 if verify else 0
+    )
+    if n < 0:
+        raise IOError(f"native TFRecord scan failed for {path} (code {n})")
+    with open(path, "rb") as f:
+        blob = f.read()
+    return [blob[offs[i] : offs[i] + lens[i]] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Reading / writing
+# ---------------------------------------------------------------------------
+
+def read_records(path: str, verify_crc: bool = False) -> List[bytes]:
+    """Read every record payload in a TFRecord file."""
+    native = _scan_records_native(path, verify_crc)
+    if native is not None:
+        return native
+    return list(iter_records(path, verify_crc=verify_crc))
+
+
+def iter_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+    """Iterate record payloads in a TFRecord file (pure Python)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    pos, end = 0, len(blob)
+    while pos < end:
+        if end - pos < 12:
+            raise IOError(f"truncated TFRecord header in {path} @ {pos}")
+        (length,) = struct.unpack("<Q", blob[pos : pos + 8])
+        if verify_crc:
+            (length_crc,) = struct.unpack("<I", blob[pos + 8 : pos + 12])
+            if masked_crc32c(blob[pos : pos + 8]) != length_crc:
+                raise IOError(f"bad length crc in {path} @ {pos}")
+        pos += 12
+        data = blob[pos : pos + length]
+        if len(data) != length:
+            raise IOError(f"truncated TFRecord payload in {path} @ {pos}")
+        pos += length
+        if verify_crc:
+            (data_crc,) = struct.unpack("<I", blob[pos : pos + 4])
+            if masked_crc32c(data) != data_crc:
+                raise IOError(f"bad data crc in {path} @ {pos}")
+        pos += 4
+        yield data
+
+
+class RecordWriter:
+    """Write TFRecord files (used by the synthetic-data generator)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, data: bytes) -> None:
+        header = struct.pack("<Q", len(data))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", masked_crc32c(header)))
+        self._f.write(data)
+        self._f.write(struct.pack("<I", masked_crc32c(data)))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def list_shards(data_dir: str, split: str) -> List[str]:
+    """Shard files for a split, sorted (reference spec.py:231-233)."""
+    return sorted(globlib.glob(os.path.join(data_dir, f"{split}-*.tfrecord")))

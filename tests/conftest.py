@@ -1,0 +1,53 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is exercised without TPU hardware by forcing the host
+platform and splitting it into 8 XLA devices, as recommended for pjit/mesh
+unit tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def crello_dir(tmp_path_factory):
+    from flexdm_tpu.data import synthetic
+
+    out = tmp_path_factory.mktemp("crello_data")
+    return synthetic.generate("crello", str(out), 96, 32, 32, seed=0)
+
+
+@pytest.fixture(scope="session")
+def rico_dir(tmp_path_factory):
+    from flexdm_tpu.data import synthetic
+
+    out = tmp_path_factory.mktemp("rico_data")
+    return synthetic.generate("rico", str(out), 96, 32, 32, seed=1)
+
+
+@pytest.fixture(scope="session")
+def crello_spec(crello_dir):
+    from flexdm_tpu.data import DatasetSpec
+
+    return DatasetSpec("crello", crello_dir, batch_size=8)
+
+
+@pytest.fixture(scope="session")
+def rico_spec(rico_dir):
+    from flexdm_tpu.data import DatasetSpec
+
+    return DatasetSpec("rico", rico_dir, batch_size=8)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
