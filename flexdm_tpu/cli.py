@@ -1,0 +1,96 @@
+"""Command-line entry points.
+
+``python -m flexdm_tpu ...`` mirrors the reference trainer CLI
+(reference ``src/mfp/mfp/main.py`` + ``args.py``), and
+``python -m flexdm_tpu.evaluation ...`` mirrors ``eval.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def _add_base_args(parser: argparse.ArgumentParser) -> None:
+    # Mirrors reference args.py:6-92.
+    parser.add_argument(
+        "--dataset_name", required=True, choices=["rico", "crello"]
+    )
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--weights", default=None, type=str,
+                        help="checkpoint path for warm start / fine-tuning")
+    parser.add_argument("--latent_dim", default=256, type=int)
+    parser.add_argument("--num_blocks", default=4, type=int)
+    parser.add_argument("--arch_type", default="oneshot")
+    parser.add_argument("--block_type", default="deepsvg",
+                        choices=["deepsvg", "transformer"])
+    parser.add_argument("--l2", default=1e-2, type=float)
+    parser.add_argument("--dropout", default=0.1, type=float)
+    parser.add_argument("--masking_method", default="random", type=str)
+    parser.add_argument("--seq_type", default="default",
+                        choices=["default", "flat"])
+    parser.add_argument("--log_level", default="INFO", type=str)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--context", default=None)
+    parser.add_argument("--input_dtype", default="set",
+                        choices=["set", "shuffled_set"])
+    parser.add_argument("--batch_size", default=256, type=int)
+    parser.add_argument("--attention_impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--num_devices", default=None, type=int)
+    parser.add_argument("--model_parallel", default=1, type=int)
+
+
+def train_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Train an MFP model (TPU-native flex-dm)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    _add_base_args(parser)
+    # Mirrors reference args.py:94-128.
+    parser.add_argument("--job-dir", dest="job_dir", required=True)
+    parser.add_argument("--num_epochs", default=500, type=int)
+    parser.add_argument("--learning_rate", default=1e-4, type=float)
+    parser.add_argument("--enable_profile", action="store_true")
+    parser.add_argument("--validation_freq", default=10, type=int)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=getattr(logging, args.log_level.upper()))
+
+    from .train.trainer import TrainConfig, train
+
+    config = TrainConfig(
+        dataset_name=args.dataset_name,
+        data_dir=args.data_dir,
+        job_dir=args.job_dir,
+        weights=args.weights,
+        latent_dim=args.latent_dim,
+        num_blocks=args.num_blocks,
+        block_type=args.block_type,
+        arch_type=args.arch_type,
+        masking_method=args.masking_method,
+        seq_type=args.seq_type,
+        context=args.context,
+        input_dtype=args.input_dtype,
+        l2=args.l2,
+        dropout=args.dropout,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        validation_freq=args.validation_freq,
+        seed=args.seed,
+        attention_impl=args.attention_impl,
+        num_devices=args.num_devices,
+        model_parallel=args.model_parallel,
+        enable_profile=args.enable_profile,
+    )
+    results = train(config)
+    print("test metrics:")
+    for k, v in sorted(results["test_metrics"].items()):
+        print(f"  {k}: {v:.4f}")
+
+
+def eval_main(argv=None) -> None:
+    from .evaluation.harness import main as harness_main
+
+    harness_main(argv)

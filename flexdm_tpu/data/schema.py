@@ -171,7 +171,19 @@ class Schema:
 
     @property
     def attribute_groups(self) -> Dict[str, Tuple[str, ...]]:
-        return ATTRIBUTE_GROUPS[self.dataset_name]
+        """Task groups, restricted to columns present in this schema.
+
+        The group table is keyed by dataset family (spec.py:364-377); group
+        names are kept even when empty so task ids stay stable, but missing
+        columns are dropped (partial schemas are valid here, unlike the
+        reference which assumed the full column set).
+        """
+        groups = ATTRIBUTE_GROUPS[self.dataset_name]
+        names = set(self.names)
+        return {
+            g: tuple(k for k in keys if k in names)
+            for g, keys in groups.items()
+        }
 
     @property
     def task_names(self) -> Tuple[str, ...]:

@@ -1,0 +1,169 @@
+"""Schema-driven multi-attribute encoder (flax.linen).
+
+Counterpart of reference ``src/mfp/mfp/models/architecture/encoder.py``.
+For every valid column the encoder produces a ``(B, S, D)`` embedding:
+
+* categorical: ``Embedding(input_dim + 2, D)`` — two extra rows for the
+  ``[MASK]``/``[NULL]`` tokens — summed over the channel axis so e.g. RGB
+  becomes a single vector (reference encoder.py:72-79, 157-160);
+* numerical: ``Dense(D)`` of the raw vector, with a 2-row special embedding
+  substituted wherever the input equals the all-channel ``MASK_VALUE`` /
+  ``NULL_VALUE`` sentinel (reference encoder.py:80-92, 164-175).
+
+Fusion modes: ``add`` (sum per-attribute embeddings -> one token per element,
+the default), ``flat`` (one token per (element, field) with a learned
+position embedding -> S*F sequence, for the VanillaTransformer baseline),
+``none`` (per-attribute dict, for LayoutVAE).  Context modes prepend or add a
+global token (encoder.py:228-249).  Positional embeddings only exist when
+``input_dtype != 'set'`` — the default model is permutation-equivariant over
+elements (encoder.py:41, 251-252).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..data.schema import MASK_VALUE, NULL_VALUE, Schema
+from .masking import get_seq_mask
+from .transformer import PositionEmbedding, keras_embed_init, make_dense
+
+CONTEXT_NAMES = (None, "id", "canvas", "length", "canvas_add")
+
+
+class Encoder(nn.Module):
+    schema: Schema
+    latent_dim: int = 128
+    context: Optional[str] = None
+    input_dtype: str = "set"
+    fusion: str = "add"
+    dropout: float = 0.1
+    use_elemwise_noise: bool = False
+    noise_size: int = 4
+
+    def setup(self):
+        assert self.context in CONTEXT_NAMES, self.context
+        assert self.fusion in ("add", "concat", "flat", "none"), self.fusion
+
+    @property
+    def use_canvas(self) -> bool:
+        return self.context is not None and "canvas" in self.context
+
+    @property
+    def use_pos_token(self) -> bool:
+        return self.input_dtype != "set"
+
+    @nn.compact
+    def __call__(
+        self, inputs: Dict[str, jnp.ndarray], deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        schema = self.schema
+        B = inputs["length"].shape[0]
+        seq_mask = get_seq_mask(inputs["length"], schema.max_length)
+
+        data_s, data_c = [], []
+        keys_s = []
+        for column in schema.valid_columns(self.use_canvas):
+            x = inputs[column.name]
+            if column.is_categorical:
+                table = self.param(
+                    f"input_{column.name}",
+                    keras_embed_init,
+                    (column.input_dim + 2, self.latent_dim),
+                )
+                h = table[x]  # (B, S, C, D) or (B, C, D)
+                h = jnp.sum(h, axis=2 if column.is_sequence else 1)
+            else:
+                special = self.param(
+                    f"input_{column.name}_special",
+                    keras_embed_init,
+                    (2, self.latent_dim),
+                )
+                is_masked = jnp.all(x == MASK_VALUE, axis=-1)
+                is_unused = jnp.all(x == NULL_VALUE, axis=-1)
+                h = make_dense(self.latent_dim, f"input_{column.name}")(x)
+                h = jnp.where(is_masked[..., None], special[0][None, None], h)
+                h = jnp.where(is_unused[..., None], special[1][None, None], h)
+            if column.is_sequence:
+                data_s.append(h)
+                keys_s.append(column.name)
+            else:
+                data_c.append(h)
+
+        if self.use_canvas:
+            assert data_c, "context='canvas' requires canvas columns"
+        if self.fusion != "add":
+            assert not data_c, "non-add fusion with canvas columns unsupported"
+
+        if self.fusion == "add":
+            seq = sum(data_s)
+            canvas = sum(data_c) if data_c else None
+        elif self.fusion == "flat":
+            # (B, S, F, D) -> (B, S*F, D): one token per (element, field).
+            F = len(data_s)
+            seq = jnp.stack(data_s, axis=2).reshape(B, -1, self.latent_dim)
+            seq_mask = jnp.repeat(seq_mask, F, axis=1)
+            pos = PositionEmbedding(
+                self.latent_dim,
+                schema.max_length * F + 1,
+                dropout=self.dropout,
+                name="emb_seq_pos",
+            )(seq.shape[1], B, deterministic)
+            seq = seq + pos
+            canvas = None
+        elif self.fusion == "none":
+            return {k: v for k, v in zip(keys_s, data_s)}, seq_mask
+        else:
+            raise NotImplementedError(self.fusion)
+
+        if self.context == "canvas_add":
+            seq = seq + canvas[:, None, :]
+        elif self.context is not None:
+            assert self.fusion == "add", self.fusion
+            if self.context == "id":
+                task_table = self.param(
+                    "input_task",
+                    keras_embed_init,
+                    (len(schema.task_names), self.latent_dim),
+                )
+                task = inputs["task"].reshape(-1).astype(jnp.int32)
+                canvas = task_table[task]
+            elif self.context == "length":
+                len_table = self.param(
+                    "input_length",
+                    keras_embed_init,
+                    (schema["length"].input_dim, self.latent_dim),
+                )
+                canvas = len_table[inputs["length"].reshape(-1)]
+            elif self.context == "canvas":
+                pass  # canvas token already aggregated above
+            # Prepend the global token; lengthen the mask by one.
+            seq = jnp.concatenate([canvas[:, None, :], seq], axis=1)
+            seq_mask = get_seq_mask(
+                inputs["length"] + 1, schema.max_length + 1
+            )
+
+        if self.use_pos_token and self.fusion != "flat":
+            seq = seq + PositionEmbedding(
+                self.latent_dim,
+                schema["length"].input_dim,
+                dropout=self.dropout,
+                name="input_const",
+            )(seq.shape[1], B, deterministic)
+
+        if self.use_elemwise_noise:
+            # Per-element Gaussian noise projected into the latent space
+            # (reference encoder.py:254-258), for stochastic generation.
+            assert self.fusion == "add"
+            import jax
+
+            noise = jax.random.normal(
+                self.make_rng("noise"),
+                seq.shape[:2] + (self.noise_size,),
+                dtype=seq.dtype,
+            )
+            seq = seq + make_dense(self.latent_dim, "input_noise")(noise)
+
+        return seq, seq_mask

@@ -1,0 +1,5 @@
+"""TPU compute kernels (Pallas) with portable XLA fallbacks."""
+
+from .attention import dot_product_attention
+
+__all__ = ["dot_product_attention"]

@@ -1,0 +1,21 @@
+"""Device meshes and sharding rules (SPMD data/tensor parallelism)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,77 @@
+"""Optimizer construction matching the reference's training dynamics.
+
+The reference compiles keras ``Adam(learning_rate, clipnorm=1.0)`` with L2
+regularizers attached to every Dense kernel/bias and Embedding table
+(reference ``src/mfp/mfp/train.py:71-77``,
+``models/architecture/utils.py:8-22``).  keras specifics replicated here:
+
+* ``clipnorm`` clips each gradient tensor *individually* (not the global
+  norm) before Adam;
+* keras Adam uses ``epsilon = 1e-7`` (optax defaults to 1e-8);
+* the L2 penalty ``l2 * sum(w^2)`` enters the loss (so it is clipped and
+  adapted like any other gradient), and LayerNorm parameters are exempt.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def clip_by_per_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """keras-style ``clipnorm``: clip each gradient tensor to ``max_norm``."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree.map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    clipnorm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    chain = []
+    if clipnorm is not None:
+        chain.append(clip_by_per_leaf_norm(clipnorm))
+    chain.append(
+        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    )
+    return optax.chain(*chain)
+
+
+def _is_regularized(path) -> bool:
+    """Everything except LayerNorm scale/bias gets the L2 penalty.
+
+    Matches the reference, which attaches regularizers to Dense and Embedding
+    layers but not LayerNormalization (architecture/utils.py:8-22).
+    """
+    for entry in path:
+        name = getattr(entry, "key", None)
+        if isinstance(name, str) and name.startswith("norm"):
+            return False
+    return True
+
+
+def l2_penalty(params) -> jnp.ndarray:
+    """``sum(w^2)`` over regularized parameters."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = jnp.asarray(0.0, dtype=jnp.float32)
+    for path, leaf in leaves:
+        if _is_regularized(path):
+            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return total

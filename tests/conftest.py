@@ -1,18 +1,25 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip sharding is exercised without TPU hardware by forcing the host
-platform and splitting it into 8 XLA devices, as recommended for pjit/mesh
-unit tests.
+platform and splitting it into 8 XLA devices.
+
+Note: this image boots an `axon` TPU plugin from sitecustomize and pins
+``jax_platforms="axon,cpu"`` at interpreter start, so the JAX_PLATFORMS env
+var alone is NOT enough — the config must be updated before first backend
+use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

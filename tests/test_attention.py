@@ -1,0 +1,78 @@
+"""Attention kernel parity: Pallas (interpret mode on CPU) vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdm_tpu.ops.attention import dot_product_attention
+
+
+def make_qkv(rng, b=2, h=4, s=50, dh=32):
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    return q, k, v
+
+
+def test_xla_matches_manual(rng):
+    q, k, v = make_qkv(rng, s=7)
+    mask = jnp.asarray(np.array([[1] * 4 + [0] * 3, [1] * 7]), bool)
+    out = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
+    # manual per-sample computation
+    for b in range(2):
+        for h in range(4):
+            scores = np.asarray(q[b, h]) @ np.asarray(k[b, h]).T / np.sqrt(32)
+            scores = scores + np.where(np.asarray(mask[b]), 0.0, -1e9)[None, :]
+            p = np.exp(scores - scores.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            np.testing.assert_allclose(
+                np.asarray(out[b, h]), p @ np.asarray(v[b, h]), rtol=2e-5, atol=2e-5
+            )
+
+
+def test_pallas_interpret_matches_xla(rng):
+    q, k, v = make_qkv(rng, s=50)
+    mask = jnp.asarray(rng.integers(0, 2, (2, 50)), bool).at[:, 0].set(True)
+    ref = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
+    out = dot_product_attention(
+        q, k, v, key_mask=mask, impl="pallas", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_causal_matches_xla(rng):
+    q, k, v = make_qkv(rng, s=16)
+    ref = dot_product_attention(q, k, v, causal=True, impl="xla")
+    out = dot_product_attention(q, k, v, causal=True, impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_gradients_match_xla(rng):
+    q, k, v = make_qkv(rng, b=1, h=2, s=10, dh=8)
+    mask = jnp.ones((1, 10), bool).at[0, 7:].set(False)
+
+    def loss(fn):
+        def inner(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o**2)
+
+        return inner
+
+    f_ref = loss(lambda q, k, v: dot_product_attention(q, k, v, key_mask=mask, impl="xla"))
+    f_pal = loss(
+        lambda q, k, v: dot_product_attention(
+            q, k, v, key_mask=mask, impl="pallas", interpret=True
+        )
+    )
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fully_masked_rows_do_not_nan(rng):
+    q, k, v = make_qkv(rng, b=1, h=1, s=4, dh=8)
+    mask = jnp.zeros((1, 4), bool)  # nothing attendable
+    out = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
+    assert np.all(np.isfinite(np.asarray(out)))

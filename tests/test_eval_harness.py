@@ -1,0 +1,138 @@
+"""Evaluation harness tests: task modes, vectorized elem parity, CLI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdm_tpu.data import split_device_batch
+from flexdm_tpu.evaluation.harness import (
+    evaluate_all,
+    evaluate_task,
+    make_eval_step,
+    merge_results,
+)
+from flexdm_tpu.models import MFPModel
+from flexdm_tpu.models.masking import get_initial_masks, get_seq_mask
+from flexdm_tpu.train import init_params
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    spec = request.getfixturevalue("crello_spec")
+    model = MFPModel(
+        spec.schema, latent_dim=32, num_blocks=1, num_heads=4,
+        attention_impl="xla",
+    )
+    batch = split_device_batch(next(iter(spec.make_dataset("test", batch_size=4))))
+    params = init_params(model, batch, seed=0)
+    return spec, model, params
+
+
+def test_group_task_scores(setup):
+    spec, model, params = setup
+    loader = spec.make_dataset("test", batch_size=8)
+    groups = spec.schema.attribute_groups
+    ans = evaluate_task(model, params, loader, "pos", ("pos", groups["pos"]))
+    assert set(ans) >= {"left", "top", "width", "height"}
+    for v in ans.values():
+        assert 0.0 <= v <= 1.0
+    # only pos fields have nonzero denominators -> only they appear
+    assert "opacity" not in ans
+
+
+def test_img_txt_tasks_respect_loss_condition(setup):
+    spec, model, params = setup
+    loader = spec.make_dataset("test", batch_size=8)
+    groups = spec.schema.attribute_groups
+    ans = evaluate_task(model, params, loader, "img", ("img", groups["img"]))
+    assert "image_embedding" in ans
+
+
+def test_random_task(setup):
+    spec, model, params = setup
+    loader = spec.make_dataset("test", batch_size=8)
+    ans = evaluate_task(model, params, loader, "random", None, seed=3)
+    assert len(ans) >= 5
+
+
+def test_elem_vectorized_matches_per_sample_loop(setup):
+    """The batched elem evaluation must reproduce the reference's batch-1
+    protocol (eval.py:66-72) exactly: same Σnum/Σden."""
+    spec, model, params = setup
+    schema = spec.schema
+    loader = spec.make_dataset("test", batch_size=4)
+    ans_fast = evaluate_task(
+        model, params, loader, "elem", None, elem_chunk=64
+    )
+
+    # Manual per-(sample, element) loop over the same split.
+    step = make_eval_step(model, num_iter=1, sort=False)
+    from collections import defaultdict
+
+    total = defaultdict(float)
+    for host_batch in spec.make_dataset("test", batch_size=4, pad_final_batch=False):
+        batch = {k: jnp.asarray(v) for k, v in split_device_batch(host_batch).items()}
+        B = batch["length"].shape[0]
+        S = schema.max_length
+        for b in range(B):
+            one = {k: v[b : b + 1] for k, v in batch.items()}
+            length = int(one["length"][0, 0]) + 1
+            for i in range(length):
+                masks = get_initial_masks(
+                    schema, get_seq_mask(one["length"], S)
+                )
+                eye = jnp.zeros((1, S), bool).at[0, i].set(True)
+                for c in schema.modeled:
+                    if c.is_sequence:
+                        masks[c.name] = eye
+                m = step(params, one, masks, jnp.ones((1,)))
+                for k, v in m.items():
+                    total[k] += float(v)
+
+    for c in schema.columns:
+        num, den = total.get(f"{c.name}_score_num"), total.get(f"{c.name}_score_den")
+        if num is not None and den:
+            np.testing.assert_allclose(
+                ans_fast[c.name], num / den, rtol=1e-4,
+                err_msg=f"column {c.name}",
+            )
+
+
+def test_evaluate_all_modes(setup):
+    spec, model, params = setup
+    for mode in ("pos", "all_feat"):
+        ans = evaluate_all(model, params, spec, mode, batch_size=8)
+        final = merge_results(ans)
+        assert final
+
+
+def test_maskgit_eval_runs(setup):
+    spec, model, params = setup
+    loader = spec.make_dataset("test", batch_size=8)
+    groups = spec.schema.attribute_groups
+    ans = evaluate_task(
+        model, params, loader, "pos", ("pos", groups["pos"]), num_iter=2
+    )
+    for v in ans.values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_eval_cli(tmp_path, rico_dir):
+    """Full CLI round trip: train 1 epoch then evaluate."""
+    from flexdm_tpu.cli import train_main
+    from flexdm_tpu.evaluation.harness import main as eval_main
+
+    job = str(tmp_path / "job")
+    train_main([
+        "--dataset_name", "rico", "--data_dir", rico_dir, "--job-dir", job,
+        "--latent_dim", "32", "--num_blocks", "1", "--batch_size", "16",
+        "--num_epochs", "1", "--validation_freq", "1",
+        "--attention_impl", "xla", "--num_devices", "1",
+    ])
+    final = eval_main([
+        "--job-dir", job, "--task_mode", "pos", "--batch_size", "16",
+        "--result_csv", str(tmp_path / "out.csv"),
+    ])
+    assert "left" in final
+    assert (tmp_path / "out.csv").exists()

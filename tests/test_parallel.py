@@ -1,0 +1,116 @@
+"""SPMD sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdm_tpu.data import split_device_batch
+from flexdm_tpu.models import MFPModel, make_task_config
+from flexdm_tpu.parallel import mesh as mesh_lib
+from flexdm_tpu.train import (
+    TrainState,
+    init_params,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    spec = request.getfixturevalue("rico_spec")
+    batch = split_device_batch(next(iter(spec.make_dataset("train", batch_size=16))))
+    model = MFPModel(
+        spec.schema, latent_dim=32, num_blocks=1, num_heads=4,
+        attention_impl="xla",
+    )
+    params = init_params(model, batch, seed=0)
+    tc = make_task_config(spec.schema, "random")
+    tx = make_optimizer(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+    return spec, model, tc, tx, state, batch
+
+
+def _run_steps(model, tc, tx, state, batch, mesh, n=3):
+    step_fn = jax.jit(make_train_step(model, tc, tx, l2=1e-2))
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+        batch = mesh_lib.shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    metrics = None
+    for i in range(n):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+    return state, metrics
+
+
+def test_data_parallel_matches_single_device(setup):
+    """8-way sharded training must match single-device training.
+
+    Uses SGD so the comparison is linear in the gradients — Adam would
+    amplify reduction-order float noise on near-zero-gradient leaves to
+    ~lr scale and mask what is being tested (the SPMD all-reduce).
+    """
+    import optax
+
+    spec, model, tc, _, state, batch = setup
+    sgd = optax.sgd(1e-2)
+    state = TrainState(
+        params=state.params, opt_state=sgd.init(state.params), step=jnp.asarray(0)
+    )
+    mesh8 = mesh_lib.make_mesh(8)
+    mesh1 = mesh_lib.make_mesh(1)
+
+    state8, metrics8 = _run_steps(model, tc, sgd, state, batch, mesh8)
+    state1, metrics1 = _run_steps(model, tc, sgd, state, batch, mesh1)
+
+    np.testing.assert_allclose(
+        float(metrics8["loss"]), float(metrics1["loss"]), rtol=1e-4
+    )
+    l8 = jax.tree.leaves(jax.device_get(state8.params))
+    l1 = jax.tree.leaves(jax.device_get(state1.params))
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_batch_is_actually_sharded(setup):
+    spec, model, tc, tx, state, batch = setup
+    mesh = mesh_lib.make_mesh(8)
+    sharded = mesh_lib.shard_batch(batch, mesh)
+    x = sharded["left"]
+    assert len(x.sharding.device_set) == 8
+    # each device holds B/8 of the batch
+    shard = x.addressable_shards[0]
+    assert shard.data.shape[0] == x.shape[0] // 8
+
+
+def test_params_replicated(setup):
+    spec, model, tc, tx, state, batch = setup
+    mesh = mesh_lib.make_mesh(8)
+    rep = mesh_lib.replicate(state.params, mesh)
+    leaf = jax.tree.leaves(rep)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.addressable_shards[0].data.shape == leaf.shape
+
+
+def test_model_parallel_axis_accepted(setup):
+    spec, model, tc, tx, state, batch = setup
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    assert mesh.shape[mesh_lib.DATA_AXIS] == 4
+    assert mesh.shape[mesh_lib.MODEL_AXIS] == 2
+    _, metrics = _run_steps(model, tc, tx, state, batch, mesh, n=1)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_val_step_on_mesh(setup):
+    spec, model, tc, tx, state, batch = setup
+    mesh = mesh_lib.make_mesh(8)
+    val_step = jax.jit(make_val_step(model, tc))
+    b = mesh_lib.shard_batch(batch, mesh)
+    p = mesh_lib.replicate(state.params, mesh)
+    metrics = val_step(p, b, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_score"]))
