@@ -40,6 +40,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from flexdm_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
     from flexdm_tpu.models import MFPModel, make_task_config
     from flexdm_tpu.parallel import mesh as mesh_lib

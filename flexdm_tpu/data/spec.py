@@ -414,9 +414,15 @@ class DatasetSpec:
                 x = np.asarray(example[name])[i]
 
                 if "lookup" in column and not column.get("demo_only", False):
-                    x = self.vocabs[name].table()[x]
+                    # Tolerate [MASK]/[NULL] ids (vocab_size / vocab_size+1)
+                    # so masked model inputs can also be visualized.
+                    table = np.concatenate(
+                        [self.vocabs[name].table(), ["<MASK>", "<NULL>"]]
+                    )
+                    x = table[np.clip(x, 0, len(table) - 1)]
                 elif "discretize" in column:
-                    x = self.discretizers[name].inverse(x)
+                    bins = self.discretizers[name].num_bins
+                    x = self.discretizers[name].inverse(np.where(x >= bins, 0, x))
 
                 if column.get("is_sequence", False):
                     for j in range(length):

@@ -1,0 +1,160 @@
+"""Demo inference: the notebook workflow as a script.
+
+Counterpart of the reference's ``notebooks/demo_crello.ipynb`` /
+``demo_rico.ipynb`` + ``notebooks/util.py``: load a trained job, build
+per-task masks by hand (reference demo cell: ``get_initial_masks`` +
+attribute groups), run the model with those masks, and render ground-truth /
+masked-input / prediction documents side by side as SVG into a single HTML
+page.
+
+Usage::
+
+    python -m flexdm_tpu.demo --job-dir /path/to/job --task pos \
+        --num-examples 4 --out demo.html
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import html
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .data import DatasetSpec, split_device_batch
+from .data.schema import MASK_VALUE, NULL_VALUE
+from .evaluation.harness import _group_masks
+from .helpers.svg import SVGBuilder
+from .models import forward_eval
+from .models.masking import (
+    apply_token,
+    filter_padding,
+    get_initial_masks,
+    get_seq_mask,
+)
+from .train import checkpoint as ckpt_lib
+from .train.trainer import TrainConfig, build_model, init_params
+
+
+def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8):
+    """Rebuild the model of a training job and load its weights
+    (reference notebooks/util.py:16-27)."""
+    with open(os.path.join(job_dir, "args.json")) as f:
+        train_args = json.load(f)
+    config = TrainConfig(**{
+        k: v for k, v in train_args.items()
+        if k in {f.name for f in dataclasses.fields(TrainConfig)}
+    })
+    spec = DatasetSpec(config.dataset_name, config.data_dir, batch_size)
+    model = build_model(config, spec.schema)
+    sample = split_device_batch(next(iter(spec.make_dataset("test", batch_size=2))))
+    params = init_params(model, sample, config.seed)
+    params = ckpt_lib.load_checkpoint(
+        os.path.join(job_dir, "checkpoints", checkpoint), params
+    )
+    return model, params, spec
+
+
+def build_task_masks(schema, batch, task: str, key=None):
+    """Masks for a demo task: 'elem' masks one element, groups mask fields."""
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    if task == "elem":
+        from .models.masking import select_single_element
+
+        masks = get_initial_masks(schema, seq_mask)
+        sel = select_single_element(seq_mask, key or jax.random.PRNGKey(0))
+        for c in schema.modeled:
+            if c.is_sequence:
+                masks[c.name] = sel
+        return masks
+    return _group_masks(schema, batch, schema.attribute_groups[task])
+
+
+def masked_input_view(schema, batch, masks) -> Dict[str, jnp.ndarray]:
+    """The model's-eye view of the document (for the middle column)."""
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    filtered = filter_padding(batch, schema, seq_mask)
+    out = dict(batch)
+    for c in schema.modeled:
+        if c.is_sequence:
+            out[c.name] = apply_token(filtered[c.name], c, masks[c.name], "masked")
+    return out
+
+
+def run_demo(
+    job_dir: str,
+    task: str = "pos",
+    num_examples: int = 4,
+    num_iter: int = 1,
+    out_path: str = "demo.html",
+    checkpoint: str = "best",
+    split: str = "test",
+    data_dir_override: Optional[str] = None,
+) -> str:
+    model, params, spec = load_model(job_dir, checkpoint, batch_size=num_examples)
+    if data_dir_override:
+        spec = DatasetSpec(spec.name, data_dir_override, num_examples)
+    schema = spec.schema
+
+    host = next(iter(spec.make_dataset(split, batch_size=num_examples)))
+    batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+    masks = build_task_masks(schema, batch, task)
+    pred = forward_eval(model, params, batch, masks, num_iter=num_iter)
+    pred = {k: v for k, v in pred.items()}
+
+    builder = SVGBuilder(
+        key="type",
+        vocab=spec.vocabs["type"].tokens if "type" in spec.vocabs else None,
+        max_width=180,
+        max_height=180,
+        render_text=True,
+    )
+    gt_items = spec.unbatch(host)
+    in_items = spec.unbatch(
+        {k: jax.device_get(v) for k, v in masked_input_view(schema, batch, masks).items()}
+    )
+    pred_items = spec.unbatch({k: jax.device_get(v) for k, v in pred.items()})
+
+    rows = []
+    for gt, inp, pr in zip(gt_items, in_items, pred_items):
+        cells = "".join(
+            f"<td>{builder(doc)}</td>" for doc in (gt, inp, pr)
+        )
+        rows.append(f"<tr>{cells}</tr>")
+    page = (
+        "<html><head><meta charset='utf-8'><title>flexdm demo</title></head>"
+        f"<body><h2>task: {html.escape(task)}</h2>"
+        "<table border=1 cellpadding=4><tr><th>ground truth</th>"
+        "<th>masked input</th><th>prediction</th></tr>"
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+    with open(out_path, "w") as f:
+        f.write(page)
+    return out_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Render demo predictions")
+    parser.add_argument("--job-dir", dest="job_dir", required=True)
+    parser.add_argument("--task", default="pos",
+                        help="elem | type | pos | attr | img | txt")
+    parser.add_argument("--num-examples", type=int, default=4)
+    parser.add_argument("--num-iter", type=int, default=1)
+    parser.add_argument("--out", default="demo.html")
+    parser.add_argument("--checkpoint", default="best")
+    parser.add_argument("--split", default="test")
+    args = parser.parse_args(argv)
+    path = run_demo(
+        args.job_dir, args.task, args.num_examples, args.num_iter,
+        args.out, args.checkpoint, args.split,
+    )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
