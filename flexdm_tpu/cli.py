@@ -21,7 +21,12 @@ def _add_base_args(parser: argparse.ArgumentParser) -> None:
                         help="checkpoint path for warm start / fine-tuning")
     parser.add_argument("--latent_dim", default=256, type=int)
     parser.add_argument("--num_blocks", default=4, type=int)
-    parser.add_argument("--arch_type", default="oneshot")
+    parser.add_argument(
+        "--arch_type", default="oneshot",
+        choices=["oneshot", "canvasvae", "layoutvae", "autoreg", "bart_autoreg"],
+    )
+    parser.add_argument("--kl", default=1.0, type=float,
+                        help="KL weight for VAE baselines")
     parser.add_argument("--block_type", default="deepsvg",
                         choices=["deepsvg", "transformer"])
     parser.add_argument("--l2", default=1e-2, type=float)
@@ -74,6 +79,7 @@ def train_main(argv=None) -> None:
         input_dtype=args.input_dtype,
         l2=args.l2,
         dropout=args.dropout,
+        kl=args.kl,
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,

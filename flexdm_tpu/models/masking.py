@@ -229,6 +229,7 @@ def preprocess_for_train(
     schema: Schema,
     tasks: jnp.ndarray,
     key: jax.Array,
+    is_autoreg: bool = False,
 ) -> Tuple[Arrays, Arrays, Arrays]:
     """Compute all maskings, then per-sample select by task id.
 
@@ -236,13 +237,17 @@ def preprocess_for_train(
     ``"task"`` entry.  Mirrors reference mfp.py:95-138 — the reference also
     computes every masking each step and muxes with ``tf.where``; under jit
     the unselected branches are dead weight XLA fuses into the selects.
+    ``is_autoreg`` makes elem masking pick the last valid element (reference
+    masking.py:98-113).
     """
     seq_mask = get_seq_mask(inputs["length"], schema.max_length)
     filtered = filter_padding(inputs, schema, seq_mask)
 
     k_random, k_elem = jax.random.split(key)
     modified, masks = random_masking(filtered, schema, seq_mask, k_random)
-    variants = [elem_masking(filtered, schema, seq_mask, k_elem)]
+    variants = [
+        elem_masking(filtered, schema, seq_mask, k_elem, select_last=is_autoreg)
+    ]
     for group in schema.attribute_groups.values():
         variants.append(feat_masking(filtered, schema, seq_mask, group))
 

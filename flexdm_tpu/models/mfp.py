@@ -42,7 +42,7 @@ from .masking import (
     preprocess_for_train,
     sample_tasks,
 )
-from .sorting import shuffle_inputs
+from .sorting import shuffle_inputs, sort_inputs
 from .transformer import Blocks
 
 Arrays = Dict[str, jnp.ndarray]
@@ -141,22 +141,29 @@ def forward_train(
     validation calling the same path) but disables dropout/noise.
     """
     schema = model.schema
-    k_task, k_shuffle, k_mask, k_drop, k_noise = jax.random.split(key, 5)
+    k_task, k_shuffle, k_mask, k_drop, k_noise, k_vae = jax.random.split(key, 6)
     B = inputs["length"].shape[0]
 
     tasks = sample_tasks(k_task, B, task_config.task_probs)
 
-    if model.input_dtype == "shuffled_set":
+    is_autoreg = getattr(model, "is_autoreg", False)
+    input_dtype = getattr(model, "input_dtype", "set")
+    if is_autoreg or input_dtype == "shuffled_set":
         inputs = shuffle_inputs(inputs, schema, k_shuffle)
+    elif input_dtype == "sorted_set":
+        inputs = sort_inputs(inputs, schema)
 
     targets, modified, masks = preprocess_for_train(
-        inputs, schema, tasks, k_mask
+        inputs, schema, tasks, k_mask, is_autoreg=is_autoreg
     )
-    outputs = model.apply(
-        params,
-        modified,
-        deterministic=not train,
-        rngs={"dropout": k_drop, "noise": k_noise} if train else {"noise": k_noise},
+    rngs = (
+        {"dropout": k_drop, "noise": k_noise, "vae": k_vae}
+        if train
+        else {"noise": k_noise, "vae": k_vae}
+    )
+    outputs, aux = apply_model(
+        model, params, modified, targets, masks,
+        deterministic=not train, rngs=rngs,
     )
 
     sort_flag = None
@@ -165,7 +172,38 @@ def forward_train(
     loss, metrics = compute_mfp_loss(
         schema, targets, outputs, masks, sort_flag=sort_flag
     )
+    for name, value in aux.items():
+        metrics[name] = value
+        if name.endswith("_loss") or name == "kl_loss":
+            loss = loss + value
+    metrics["loss"] = loss
     return loss, metrics
+
+
+def apply_model(
+    model: nn.Module,
+    params,
+    modified: Arrays,
+    targets: Arrays,
+    masks: Arrays,
+    deterministic: bool,
+    rngs,
+) -> Tuple[Arrays, Dict[str, jnp.ndarray]]:
+    """Uniform forward over the oneshot model and the baselines.
+
+    Oneshot (MFPModel) consumes only the masked inputs; baselines
+    (CanvasVAE / LayoutVAE / AutoReg / BART) additionally take the targets
+    (teacher forcing) and the mfp masks (step-wise GT merge), and return
+    ``(outputs, aux-losses)`` — the reference threaded these through
+    ``self.model(modified_inputs, targets, masks, training)``
+    (reference mfp.py:330-333).
+    """
+    if isinstance(model, MFPModel):
+        outputs = model.apply(params, modified, deterministic, rngs=rngs)
+        return outputs, {}
+    return model.apply(
+        params, modified, targets, masks, deterministic, rngs=rngs
+    )
 
 
 def forward_eval(

@@ -34,6 +34,7 @@ from flax import struct
 from ..data import DatasetSpec
 from ..data.pipeline import NUM_VALID_KEY, split_device_batch
 from ..models import MFPModel, forward_train, make_task_config
+from ..models.baselines import BART, AutoReg, CanvasVAE, LayoutVAE
 from ..models.masking import get_initial_masks, get_seq_mask, preprocess_for_test
 from ..parallel import mesh as mesh_lib
 from . import checkpoint as ckpt_lib
@@ -60,6 +61,7 @@ class TrainConfig:
     input_dtype: str = "set"
     l2: Optional[float] = 1e-2
     dropout: float = 0.1
+    kl: float = 1.0  # VAE baselines only
     batch_size: int = 256
     num_epochs: int = 500
     learning_rate: float = 1e-4
@@ -83,35 +85,59 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
-def build_model(config: TrainConfig, schema) -> MFPModel:
-    assert config.arch_type == "oneshot", config.arch_type
-    return MFPModel(
+def build_model(config: TrainConfig, schema):
+    """Construct the architecture named by ``arch_type``.
+
+    ``oneshot`` is the flagship (the only one the reference trainer could
+    reach, mfp.py:230); the VAE/autoregressive baselines are full citizens
+    here.
+    """
+    common = dict(
         schema=schema,
         latent_dim=config.latent_dim,
         num_blocks=config.num_blocks,
         block_type=config.block_type,
         num_heads=config.num_heads,
         dropout=config.dropout,
-        context=config.context,
-        input_dtype=config.input_dtype,
-        seq_type=config.seq_type,
-        use_elemwise_noise=config.use_elemwise_noise,
         attention_impl=config.attention_impl,
     )
+    if config.arch_type == "oneshot":
+        return MFPModel(
+            context=config.context,
+            input_dtype=config.input_dtype,
+            seq_type=config.seq_type,
+            use_elemwise_noise=config.use_elemwise_noise,
+            **common,
+        )
+    if config.arch_type == "canvasvae":
+        return CanvasVAE(kl=config.kl, **common)
+    if config.arch_type == "layoutvae":
+        return LayoutVAE(kl=config.kl, **common)
+    if config.arch_type == "autoreg":
+        return AutoReg(**common)
+    if config.arch_type == "bart_autoreg":
+        return BART(**common)
+    raise NotImplementedError(config.arch_type)
 
 
-def init_params(model: MFPModel, sample_batch: Dict[str, np.ndarray], seed: int):
+def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int):
     """Initialize parameters from a sample batch (test-path shapes)."""
     schema = model.schema
     batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
     seq_mask = get_seq_mask(batch["length"], schema.max_length)
     masks = get_initial_masks(schema, seq_mask)
     modified = preprocess_for_test(batch, schema, masks)
-    return model.init(
-        {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(0)},
-        modified,
-        deterministic=True,
-    )
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "noise": jax.random.PRNGKey(0),
+        "vae": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    if isinstance(model, MFPModel):
+        return model.init(rngs, modified, deterministic=True)
+    # Baselines: initialize through the (cheap) teacher-forced training
+    # path; the eval path's static decode loop would trace S graphs.
+    return model.init(rngs, modified, batch, masks, deterministic=False)
 
 
 def make_train_step(
