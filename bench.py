@@ -64,9 +64,13 @@ def main() -> None:
     blocks = args.num_blocks or blocks
     steps = args.steps or steps
 
-    cache = os.path.join(tempfile.gettempdir(), "flexdm_bench_crello")
+    cache = os.path.join(
+        tempfile.gettempdir(), f"flexdm_bench_crello_{batch_size}"
+    )
     if not os.path.exists(os.path.join(cache, "count.json")):
-        synthetic.generate("crello", cache, 64, 16, 16, seed=0)
+        synthetic.generate(
+            "crello", cache, max(batch_size, 64), 16, 16, seed=0
+        )
     spec = DatasetSpec("crello", cache, batch_size=batch_size)
 
     model = MFPModel(

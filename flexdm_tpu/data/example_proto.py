@@ -203,8 +203,14 @@ def _parse_feature_list(buf: bytes) -> List[FeatureValue]:
     return out
 
 
-def _parse_feature_lists(buf: bytes) -> Dict[str, List[FeatureValue]]:
-    """Parse a FeatureLists message (map<string, FeatureList>)."""
+def _parse_feature_lists(
+    buf: bytes, skip: frozenset = frozenset()
+) -> Dict[str, List[FeatureValue]]:
+    """Parse a FeatureLists message (map<string, FeatureList>).
+
+    Keys in ``skip`` are recorded with an empty list but their (potentially
+    large) bodies are not parsed — the native decoder handles them.
+    """
     pos, end = 0, len(buf)
     out: Dict[str, List[FeatureValue]] = {}
     while pos < end:
@@ -213,7 +219,7 @@ def _parse_feature_lists(buf: bytes) -> Dict[str, List[FeatureValue]]:
             n, pos = _read_varint(buf, pos)
             key, raw = _parse_map_entry(buf[pos : pos + n])
             pos += n
-            out[key] = _parse_feature_list(raw)
+            out[key] = [] if key in skip else _parse_feature_list(raw)
         else:
             pos = _skip_field(buf, pos, wire)
     return out
@@ -221,6 +227,7 @@ def _parse_feature_lists(buf: bytes) -> Dict[str, List[FeatureValue]]:
 
 def decode_sequence_example(
     buf: bytes,
+    skip_sequence_keys: frozenset = frozenset(),
 ) -> Tuple[Dict[str, FeatureValue], Dict[str, List[FeatureValue]]]:
     """Decode a serialized SequenceExample into (context, feature_lists)."""
     pos, end = 0, len(buf)
@@ -237,7 +244,7 @@ def decode_sequence_example(
         if field == 1:
             context = _parse_features(body)
         elif field == 2:
-            feature_lists = _parse_feature_lists(body)
+            feature_lists = _parse_feature_lists(body, skip_sequence_keys)
     return context, feature_lists
 
 

@@ -102,6 +102,12 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self._payloads)
+        if self.drop_remainder and n < self.batch_size:
+            raise ValueError(
+                f"split {self.split!r} has {n} records < batch_size "
+                f"{self.batch_size} with drop_remainder=True; no batch can "
+                "ever be produced"
+            )
         epoch = 0
         while True:
             order = np.arange(n)

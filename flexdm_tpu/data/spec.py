@@ -315,19 +315,46 @@ class DatasetSpec:
     # ------------------------------------------------------------------
     # Decoding + preprocessing
     # ------------------------------------------------------------------
+    @property
+    def _native_float_keys(self) -> frozenset:
+        """Wide float sequence columns decoded by the C++ fast path."""
+        if not hasattr(self, "_native_keys_cache"):
+            keys = set()
+            if tfrecord._load_native() is not None:
+                for name, column in self.columns.items():
+                    shape = tuple(column.get("shape", (1,)))
+                    if (
+                        column.get("is_sequence", False)
+                        and column["dtype"] in ("float", "float32", "float64")
+                        and shape[-1] >= 16
+                    ):
+                        keys.add(name)
+            self._native_keys_cache = frozenset(keys)
+        return self._native_keys_cache
+
     def decode_record(self, payload: bytes) -> Dict[str, np.ndarray]:
         """One serialized SequenceExample -> padded, preprocessed arrays.
 
         Sequence columns come back ``(max_length, C)``; canvas columns ``(C,)``.
-        String demo-only columns stay as object arrays.
+        String demo-only columns stay as object arrays.  Wide float columns
+        (the 512-d embeddings) are decoded by the native library when built.
         """
-        context, feature_lists = example_proto.decode_sequence_example(payload)
+        native_keys = self._native_float_keys
+        context, feature_lists = example_proto.decode_sequence_example(
+            payload, skip_sequence_keys=native_keys
+        )
         S = self.max_length
         out: Dict[str, np.ndarray] = {}
         for name, column in self.columns.items():
             shape = tuple(column.get("shape", (1,)))
             np_dtype = _NP_DTYPES[column["dtype"]]
-            if column.get("is_sequence", False):
+            if name in native_keys and name in feature_lists:
+                rows = tfrecord.decode_float_feature(
+                    payload, name, S, int(np.prod(shape))
+                )
+                arr = np.zeros((S,) + shape, dtype=np.float32)
+                arr[: rows.shape[0]] = rows.reshape((-1,) + shape)
+            elif column.get("is_sequence", False):
                 rows = feature_lists.get(name, [])
                 arr = np.zeros((S,) + shape, dtype=np_dtype)
                 if np_dtype is object:

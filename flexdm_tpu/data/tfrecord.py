@@ -119,6 +119,42 @@ def _scan_records_native(path: str, verify: bool) -> Optional[List[bytes]]:
 # Reading / writing
 # ---------------------------------------------------------------------------
 
+def decode_float_feature(
+    payload: bytes, name: str, max_rows: int, row_size: int
+) -> Optional[np.ndarray]:
+    """Decode a float feature list straight into a numpy array (C++ path).
+
+    Returns ``(n_rows, row_size)`` float32, or None when the native library
+    is unavailable (caller falls back to the Python proto decoder).
+    """
+    lib = _load_native()
+    if lib is None:
+        return None
+    if not getattr(lib, "_float_sig_set", False):
+        lib.flexdm_decode_float_feature.restype = ctypes.c_longlong
+        lib.flexdm_decode_float_feature.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+        ]
+        lib._float_sig_set = True
+    out = np.zeros((max_rows, row_size), dtype=np.float32)
+    n = lib.flexdm_decode_float_feature(
+        payload,
+        len(payload),
+        name.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_rows,
+        row_size,
+    )
+    if n < 0:
+        raise IOError(f"native float decode failed for {name} (code {n})")
+    return out[: int(n)]
+
+
 def read_records(path: str, verify_crc: bool = False) -> List[bytes]:
     """Read every record payload in a TFRecord file."""
     native = _scan_records_native(path, verify_crc)

@@ -61,6 +61,24 @@ def continuous_loss_and_score(
     return mse, 0.5 * cos + 0.5
 
 
+def mae_from_logits(
+    y_true: jnp.ndarray, y_pred: jnp.ndarray, from_logits: bool = True
+) -> jnp.ndarray:
+    """Expected-value MAE over ordinal bins (reference metrics.py:12-33).
+
+    Interprets the C classes as evenly spaced values in [0, 1]; the
+    prediction is the softmax-expected value.  Defined by the reference for
+    an (unused) font_size scoring hook; provided for parity.
+    """
+    C = y_pred.shape[-1]
+    div = float(C - 1)
+    target = y_true.astype(jnp.float32) / div
+    probs = jax.nn.softmax(y_pred, axis=-1) if from_logits else y_pred
+    values = jnp.arange(C, dtype=jnp.float32) / div
+    expected = jnp.sum(probs * values, axis=-1)
+    return jnp.abs(target - expected)
+
+
 def _apply_sorting(
     schema: Schema,
     y_true: Arrays,

@@ -216,6 +216,79 @@ def feat_masking(
     return out, masks
 
 
+def unused_masking(
+    inputs: Arrays,
+    schema: Schema,
+    masks: Arrays,
+    key: jax.Array,
+    drop_ratio: float = 0.1,
+) -> Tuple[Arrays, Arrays]:
+    """Drop-an-input augmentation: with prob ``drop_ratio`` per (sample,
+    column), null the whole column and clear its mfp mask.
+
+    Reference masking.py:158-180 (defined there but never called; kept for
+    surface parity).  Note the reference returns the *unmodified* masks —
+    here the cleared masks are returned, which is the evident intent.
+    """
+    out: Arrays = {}
+    new_masks: Arrays = {}
+    for i, column in enumerate(schema.modeled):
+        name = column.name
+        if not column.is_sequence:
+            out[name] = inputs[name]
+            new_masks[name] = masks[name]
+            continue
+        k = jax.random.fold_in(key, i)
+        is_unused = jax.random.uniform(k, (inputs[name].shape[0],)) < drop_ratio
+        drop = jnp.broadcast_to(is_unused[:, None], masks[name].shape)
+        out[name] = apply_token(inputs[name], column, drop, "unused")
+        new_masks[name] = masks[name] & ~drop
+    return out, new_masks
+
+
+def rowcol_random_masking(
+    inputs: Arrays,
+    schema: Schema,
+    seq_mask: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[Arrays, Arrays]:
+    """Row/column-structured MLM variant: mask whole elements (columns of
+    the element-by-field grid) or whole fields (rows) at half MASK_PROB
+    each, then apply the 80/10/10 corruption.
+
+    Reference masking.py:183-224 (defined, unused).
+    """
+    p = MASK_PROB / 2.0
+    change_prob = 1.0 - UNCHANGE_PROB
+    thresh = REPLACE_PROB / change_prob
+
+    B, S = seq_mask.shape
+    k_col, k_row, key = jax.random.split(key, 3)
+    seq_cols = [c for c in schema.modeled if c.is_sequence]
+    col_mask = jax.random.uniform(k_col, (B, S)) < p
+    row_mask = jax.random.uniform(k_row, (B, len(seq_cols))) < p
+
+    out: Arrays = {}
+    masks: Arrays = {}
+    row_index = 0
+    for column in schema.modeled:
+        name = column.name
+        if not column.is_sequence:
+            out[name] = inputs[name]
+            masks[name] = jnp.ones((B,), dtype=bool)
+            continue
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, row_index), 3)
+        mfp_mask = seq_mask & (col_mask | row_mask[:, row_index : row_index + 1])
+        chg = mfp_mask & (jax.random.uniform(k1, (B, S)) < change_prob)
+        rand = jax.random.uniform(k2, (B, S))
+        y = apply_token(inputs[name], column, chg & (rand >= thresh), "masked")
+        y = apply_token(y, column, chg & (rand < thresh), "random", k3)
+        out[name] = y
+        masks[name] = mfp_mask
+        row_index += 1
+    return out, masks
+
+
 def sample_tasks(
     key: jax.Array, batch_size: int, probs: Tuple[float, ...]
 ) -> jnp.ndarray:

@@ -104,6 +104,25 @@ def shuffle_inputs(
     return out
 
 
+def merge_dicts(batches, axis: int = 0) -> Dict[str, jnp.ndarray]:
+    """Concatenate a list of array-dicts (reference tensor_utils.py:111-117)."""
+    return {
+        k: jnp.concatenate([b[k] for b in batches], axis=axis)
+        for k in batches[0]
+    }
+
+
+def split_dict(
+    inputs: Dict[str, jnp.ndarray], num_splits: int, axis: int = 0
+):
+    """Split an array-dict into equal parts (tensor_utils.py:120-129)."""
+    out = [{} for _ in range(num_splits)]
+    for k, v in inputs.items():
+        for i, piece in enumerate(jnp.split(v, num_splits, axis=axis)):
+            out[i][k] = piece
+    return out
+
+
 def reorganize_indices(
     from_inds: jnp.ndarray, n_elems: jnp.ndarray, maxlen: int
 ) -> jnp.ndarray:

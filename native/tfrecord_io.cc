@@ -1,0 +1,237 @@
+// Native TFRecord scanner + SequenceExample feature extractor.
+//
+// The host data path (flexdm_tpu/data/tfrecord.py + example_proto.py) has a
+// pure-Python fallback; this library is the fast path for production input
+// pipelines: it scans TFRecord framing (with optional CRC-32C verification)
+// in one pass and decodes the protobuf wire format of SequenceExample
+// feature lists directly into caller-provided buffers, avoiding Python
+// object churn on the hot decode loop.
+//
+// Exposed C ABI (consumed via ctypes):
+//   flexdm_scan_records(path, offsets, lengths, capacity, verify) -> count
+//   flexdm_crc32c(data, len) -> masked crc
+//   flexdm_decode_floats(payload, len, name, out, cap, rows, cols) -> 0/neg
+//
+// Build: make -C native   (produces libflexdm_io.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CRC-32C (Castagnoli), table-driven, with TFRecord's mask rotation.
+// ---------------------------------------------------------------------------
+
+uint32_t g_crc_table[256];
+bool g_crc_init = false;
+
+void init_crc_table() {
+  if (g_crc_init) return;
+  const uint32_t poly = 0x82F63B78u;
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int j = 0; j < 8; ++j) {
+      crc = (crc & 1) ? (crc >> 1) ^ poly : crc >> 1;
+    }
+    g_crc_table[i] = crc;
+  }
+  g_crc_init = true;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  init_crc_table();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) {
+    crc = (crc >> 8) ^ g_crc_table[(crc ^ data[i]) & 0xFF];
+  }
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t masked_crc32c(const uint8_t* data, size_t n) {
+  uint32_t crc = crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+uint32_t read_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+uint64_t read_u64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+// ---------------------------------------------------------------------------
+// Protobuf wire-format helpers.
+// ---------------------------------------------------------------------------
+
+struct Cursor {
+  const uint8_t* p;
+  const uint8_t* end;
+};
+
+bool read_varint(Cursor* c, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (c->p < c->end) {
+    uint8_t b = *c->p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+    if (shift > 70) return false;
+  }
+  return false;
+}
+
+bool skip_field(Cursor* c, uint32_t wire) {
+  uint64_t tmp;
+  switch (wire) {
+    case 0:
+      return read_varint(c, &tmp);
+    case 1:
+      if (c->end - c->p < 8) return false;
+      c->p += 8;
+      return true;
+    case 2:
+      if (!read_varint(c, &tmp) || c->end - c->p < (int64_t)tmp) return false;
+      c->p += tmp;
+      return true;
+    case 5:
+      if (c->end - c->p < 4) return false;
+      c->p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+// Find a length-delimited subfield; returns its body span.
+bool find_len_field(Cursor c, uint32_t field, Cursor* out, Cursor* rest) {
+  while (c.p < c.end) {
+    uint64_t key;
+    if (!read_varint(&c, &key)) return false;
+    uint32_t f = key >> 3, wire = key & 7;
+    if (f == field && wire == 2) {
+      uint64_t n;
+      if (!read_varint(&c, &n) || c.end - c.p < (int64_t)n) return false;
+      out->p = c.p;
+      out->end = c.p + n;
+      if (rest) {
+        rest->p = c.p + n;
+        rest->end = c.end;
+      }
+      return true;
+    }
+    if (!skip_field(&c, wire)) return false;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan a TFRecord file; fill offsets/lengths of each payload.
+// Returns record count, or a negative error code.
+long long flexdm_scan_records(const char* path, long long* offsets,
+                              long long* lengths, long long capacity,
+                              int verify_crc) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> blob(size);
+  if (std::fread(blob.data(), 1, size, f) != (size_t)size) {
+    std::fclose(f);
+    return -2;
+  }
+  std::fclose(f);
+
+  long long pos = 0;
+  long long count = 0;
+  while (pos < size) {
+    if (size - pos < 12) return -3;
+    uint64_t length = read_u64(blob.data() + pos);
+    if (verify_crc) {
+      uint32_t expect = read_u32(blob.data() + pos + 8);
+      if (masked_crc32c(blob.data() + pos, 8) != expect) return -4;
+    }
+    pos += 12;
+    if (size - pos < (long long)length + 4) return -5;
+    if (verify_crc) {
+      uint32_t expect = read_u32(blob.data() + pos + length);
+      if (masked_crc32c(blob.data() + pos, length) != expect) return -6;
+    }
+    if (count >= capacity) return -7;
+    offsets[count] = pos;
+    lengths[count] = (long long)length;
+    ++count;
+    pos += (long long)length + 4;
+  }
+  return count;
+}
+
+unsigned int flexdm_crc32c(const unsigned char* data, long long n) {
+  return masked_crc32c(data, (size_t)n);
+}
+
+// Decode the float rows of one named feature list from a serialized
+// SequenceExample.  Writes up to `max_rows * row_size` floats into `out`
+// (row-major, rows of exactly `row_size`).  Returns the number of rows
+// written, or a negative error code.
+long long flexdm_decode_float_feature(const unsigned char* payload,
+                                      long long payload_len, const char* name,
+                                      float* out, long long max_rows,
+                                      long long row_size) {
+  Cursor se{payload, payload + payload_len};
+  Cursor feature_lists;
+  if (!find_len_field(se, 2, &feature_lists, nullptr)) return 0;
+
+  size_t name_len = std::strlen(name);
+  // Iterate map entries: FeatureLists.feature_list (field 1).
+  Cursor c = feature_lists;
+  while (c.p < c.end) {
+    Cursor entry, rest;
+    if (!find_len_field(c, 1, &entry, &rest)) break;
+    c = rest;
+    Cursor key;
+    if (!find_len_field(entry, 1, &key, nullptr)) continue;
+    if ((size_t)(key.end - key.p) != name_len ||
+        std::memcmp(key.p, name, name_len) != 0)
+      continue;
+    Cursor flist;
+    if (!find_len_field(entry, 2, &flist, nullptr)) return 0;
+
+    long long row = 0;
+    Cursor fc = flist;
+    while (fc.p < fc.end && row < max_rows) {
+      Cursor feature, frest;
+      if (!find_len_field(fc, 1, &feature, &frest)) break;
+      fc = frest;
+      // Feature.float_list = field 2; FloatList.value = field 1 (packed).
+      Cursor float_list;
+      if (!find_len_field(feature, 2, &float_list, nullptr)) continue;
+      Cursor packed;
+      if (!find_len_field(float_list, 1, &packed, nullptr)) continue;
+      long long n = (packed.end - packed.p) / 4;
+      if (n > row_size) n = row_size;
+      std::memcpy(out + row * row_size, packed.p, n * 4);
+      ++row;
+    }
+    return row;
+  }
+  return 0;
+}
+
+}  // extern "C"

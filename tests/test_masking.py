@@ -21,7 +21,7 @@ def tiny_schema(max_length=6):
     """Small crello-like schema: type + left + emb(4) with loss_condition."""
     cols = (
         ColumnSpec("length", CATEGORICAL, (1,), False, input_dim=max_length),
-        ColumnSpec("type", CATEGORICAL, (1,), True, input_dim=3),
+        ColumnSpec("type", CATEGORICAL, (1,), True, input_dim=3, primary_label=0),
         ColumnSpec("left", CATEGORICAL, (1,), True, input_dim=8),
         ColumnSpec("width", CATEGORICAL, (1,), True, input_dim=8),
         ColumnSpec("top", CATEGORICAL, (1,), True, input_dim=8),

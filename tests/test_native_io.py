@@ -1,0 +1,109 @@
+"""Native C++ I/O library tests (skipped when the .so is not built)."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from flexdm_tpu.data import example_proto, tfrecord
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+SO_PATH = os.path.join(NATIVE_DIR, "libflexdm_io.so")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    if not os.path.exists(SO_PATH):
+        try:
+            subprocess.run(["make", "-C", NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+    # reset the loader cache so this test module sees the lib
+    tfrecord._NATIVE_TRIED = False
+    tfrecord._NATIVE_LIB = None
+    yield
+    tfrecord._NATIVE_TRIED = False
+    tfrecord._NATIVE_LIB = None
+
+
+def test_native_scan_matches_python(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    payloads = [os.urandom(n) for n in (0, 1, 100, 5000)]
+    with tfrecord.RecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    native = tfrecord._scan_records_native(path, True)
+    assert native == payloads
+    assert list(tfrecord.iter_records(path, verify_crc=True)) == payloads
+
+
+def test_native_crc_detects_corruption(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    with tfrecord.RecordWriter(path) as w:
+        w.write(b"a" * 100)
+    blob = bytearray(open(path, "rb").read())
+    blob[30] ^= 0xFF
+    bad = str(tmp_path / "bad.tfrecord")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        tfrecord._scan_records_native(bad, True)
+
+
+def test_native_float_feature_decode():
+    rng = np.random.default_rng(0)
+    rows = rng.normal(size=(7, 16)).astype(np.float32)
+    buf = example_proto.encode_sequence_example(
+        {"length": [7]},
+        {"emb": [[float(x) for x in r] for r in rows],
+         "type": [[b"a"]] * 7},
+    )
+    out = tfrecord.decode_float_feature(buf, "emb", 10, 16)
+    assert out is not None and out.shape == (7, 16)
+    np.testing.assert_allclose(out, rows, rtol=1e-6)
+    # absent feature -> zero rows
+    out2 = tfrecord.decode_float_feature(buf, "nope", 10, 16)
+    assert out2.shape == (0, 16)
+
+
+def test_decode_record_native_matches_python(crello_spec, crello_dir):
+    """The native embedding fast path must agree with the Python decoder."""
+    shard = tfrecord.list_shards(crello_dir, "train")[0]
+    payloads = tfrecord.read_records(shard)[:4]
+
+    native = [crello_spec.decode_record(p) for p in payloads]
+    # Force the Python path.
+    crello_spec._native_keys_cache = frozenset()
+    pure = [crello_spec.decode_record(p) for p in payloads]
+    del crello_spec._native_keys_cache
+
+    for a, b in zip(native, pure):
+        for k in a:
+            if a[k].dtype == object:
+                continue
+            np.testing.assert_allclose(
+                a[k].astype(np.float32), b[k].astype(np.float32),
+                rtol=1e-6, err_msg=k,
+            )
+
+
+def test_native_decode_speedup(crello_spec, crello_dir):
+    shard = tfrecord.list_shards(crello_dir, "train")[0]
+    payloads = tfrecord.read_records(shard)
+
+    t0 = time.perf_counter()
+    for p in payloads:
+        crello_spec.decode_record(p)
+    t_native = time.perf_counter() - t0
+
+    crello_spec._native_keys_cache = frozenset()
+    t0 = time.perf_counter()
+    for p in payloads:
+        crello_spec.decode_record(p)
+    t_python = time.perf_counter() - t0
+    del crello_spec._native_keys_cache
+
+    # Embeddings dominate decode time; native should win clearly.
+    assert t_native < t_python
