@@ -58,6 +58,10 @@ def train_main(argv=None) -> None:
     parser.add_argument("--learning_rate", default=1e-4, type=float)
     parser.add_argument("--enable_profile", action="store_true")
     parser.add_argument("--validation_freq", default=10, type=int)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <job-dir>/checkpoints/last")
+    parser.add_argument("--checkpoint_every", default=0, type=int,
+                        help="refresh the resumable checkpoint every N epochs")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper()))
@@ -89,6 +93,8 @@ def train_main(argv=None) -> None:
         num_devices=args.num_devices,
         model_parallel=args.model_parallel,
         enable_profile=args.enable_profile,
+        resume=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     results = train(config)
     print("test metrics:")

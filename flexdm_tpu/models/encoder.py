@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..data.schema import MASK_VALUE, NULL_VALUE, Schema
@@ -73,8 +74,13 @@ class Encoder(nn.Module):
                     keras_embed_init,
                     (column.input_dim + 2, self.latent_dim),
                 )
-                h = table[x]  # (B, S, C, D) or (B, C, D)
-                h = jnp.sum(h, axis=2 if column.is_sequence else 1)
+                # One-hot matmul instead of a gather: vocabularies here are
+                # tiny (<= ~66 ids), the channel sum collapses into the same
+                # contraction, and — decisive on TPU — the backward pass is
+                # a plain matmul on the MXU rather than a scatter-add.
+                onehot = jax.nn.one_hot(x, table.shape[0], dtype=table.dtype)
+                onehot = jnp.sum(onehot, axis=2 if column.is_sequence else 1)
+                h = onehot @ table
             else:
                 special = self.param(
                     f"input_{column.name}_special",
@@ -157,8 +163,6 @@ class Encoder(nn.Module):
             # Per-element Gaussian noise projected into the latent space
             # (reference encoder.py:254-258), for stochastic generation.
             assert self.fusion == "add"
-            import jax
-
             noise = jax.random.normal(
                 self.make_rng("noise"),
                 seq.shape[:2] + (self.noise_size,),

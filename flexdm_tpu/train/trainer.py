@@ -74,6 +74,8 @@ class TrainConfig:
     log_every: int = 50
     enable_profile: bool = False
     use_elemwise_noise: bool = False
+    resume: bool = False  # restore params+optimizer+epoch from last checkpoint
+    checkpoint_every: int = 0  # also refresh 'last' every N epochs (0 = end only)
 
     def to_json(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -146,7 +148,12 @@ def make_train_step(
     tx: optax.GradientTransformation,
     l2: Optional[float],
 ) -> Callable:
-    def train_step(state: TrainState, batch, key):
+    def train_step(state: TrainState, batch, base_key):
+        # Derive the per-step key INSIDE the compiled program from the step
+        # counter: the host passes the same base key every step, avoiding a
+        # per-step fold_in dispatch on the (slow) host->device path.
+        key = jax.random.fold_in(base_key, state.step)
+
         def loss_fn(params):
             loss, metrics = forward_train(
                 model, params, batch, key, task_config, train=True
@@ -264,6 +271,17 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         params=params, opt_state=tx.init(params), step=jnp.asarray(0)
     )
 
+    start_epoch = 1
+    last_path = os.path.join(ckpt_dir, "last")
+    if config.resume and os.path.isdir(last_path):
+        # Exact resume: parameters, Adam moments, and the step counter all
+        # come back (the reference could only warm-start weights).
+        state = ckpt_lib.load_checkpoint(last_path, jax.device_get(state))
+        start_epoch = 1 + int(state.step) // max(
+            spec.steps_per_epoch("train"), 1
+        )
+        logger.info("resumed from %s at epoch %d", last_path, start_epoch)
+
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)
     state = mesh_lib.replicate(state, mesh)
 
@@ -280,22 +298,20 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     best_score = -math.inf
     history = []
     train_iter = iter(train_loader)
-    step = 0
     stop = False
 
     if config.enable_profile:
         jax.profiler.start_trace(os.path.join(config.job_dir, "logs", "trace"))
 
     t_start = time.time()
-    for epoch in range(1, config.num_epochs + 1):
+    step = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, config.num_epochs + 1):
         epoch_metrics = None
         for _ in range(steps_per_epoch):
             batch = mesh_lib.shard_batch(
                 split_device_batch(next(train_iter)), mesh
             )
-            state, metrics = train_step(
-                state, batch, jax.random.fold_in(base_key, step)
-            )
+            state, metrics = train_step(state, batch, base_key)
             step += 1
             epoch_metrics = metrics
         loss = float(epoch_metrics["loss"])
@@ -328,6 +344,8 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         with open(log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         logger.info("epoch %d: %s", epoch, record)
+        if config.checkpoint_every and epoch % config.checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(last_path, jax.device_get(state))
         if stop:
             break
 
