@@ -35,6 +35,8 @@ def main() -> None:
     parser.add_argument("--latent-dim", type=int, default=None)
     parser.add_argument("--num-blocks", type=int, default=None)
     parser.add_argument("--attention-impl", default="auto")
+    parser.add_argument("--dtype", default=None,
+                        help="model compute dtype, e.g. bfloat16")
     args = parser.parse_args()
 
     import jax
@@ -78,6 +80,7 @@ def main() -> None:
         latent_dim=latent,
         num_blocks=blocks,
         attention_impl=args.attention_impl,
+        dtype=args.dtype,
     )
     loader = spec.make_dataset("train", batch_size=batch_size, shuffle=True,
                                repeat=True, drop_remainder=True)

@@ -42,6 +42,8 @@ def _add_base_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", default=256, type=int)
     parser.add_argument("--attention_impl", default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--dtype", default=None,
+                        help="model compute dtype (e.g. bfloat16); params stay f32")
     parser.add_argument("--num_devices", default=None, type=int)
     parser.add_argument("--model_parallel", default=1, type=int)
 
@@ -90,6 +92,7 @@ def train_main(argv=None) -> None:
         validation_freq=args.validation_freq,
         seed=args.seed,
         attention_impl=args.attention_impl,
+        dtype=args.dtype,
         num_devices=args.num_devices,
         model_parallel=args.model_parallel,
         enable_profile=args.enable_profile,

@@ -66,7 +66,9 @@ def build_task_masks(schema, batch, task: str, key=None):
         from .models.masking import select_single_element
 
         masks = get_initial_masks(schema, seq_mask)
-        sel = select_single_element(seq_mask, key or jax.random.PRNGKey(0))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sel = select_single_element(seq_mask, key)
         for c in schema.modeled:
             if c.is_sequence:
                 masks[c.name] = sel

@@ -68,23 +68,39 @@ def _random_masks(schema: Schema, batch, key) -> Dict[str, jnp.ndarray]:
     return masks
 
 
-def _expand_elem(batch: Dict[str, jnp.ndarray], schema: Schema):
+def _expand_elem(
+    batch: Dict[str, jnp.ndarray], schema: Schema, autoreg: bool = False
+):
     """Replicate each sample S times; replica i masks element i.
 
     Vectorized form of reference eval.py:66-72.  Returns the expanded batch,
     the elem masks, and a per-replica weight zeroing replicas whose target
     element is padding (those contribute 0/0 in the reference too; the
     explicit weight keeps things exact when we sub-batch).
+
+    With ``autoreg`` the queried element is moved to the end of the valid
+    prefix so the causal decoder predicts it from all other elements
+    (reference eval.py:73-90 + tensor_utils.reorganize_indices).
     """
+    from ..models.sorting import gather_elements, reorganize_indices
+
     S = schema.max_length
     expanded = {}
     for k, v in batch.items():
-        reps = jnp.repeat(v, S, axis=0)
-        expanded[k] = reps
+        expanded[k] = jnp.repeat(v, S, axis=0)
     B = batch["length"].shape[0]
     eye = jnp.tile(jnp.eye(S, dtype=bool), (B, 1))  # (B*S, S)
     seq_mask = get_seq_mask(batch["length"], S)  # (B, S)
     weight = seq_mask.reshape(-1)  # replica (b, i) valid iff i < len_b
+
+    if autoreg:
+        from_inds = jnp.tile(jnp.arange(S)[:, None], (B, 1))  # (B*S, 1)
+        lengths = expanded["length"].reshape(-1, 1)
+        indices = reorganize_indices(from_inds, lengths, S)
+        for c in schema.modeled:
+            if c.is_sequence:
+                expanded[c.name] = gather_elements(expanded[c.name], indices)
+        eye = jnp.take_along_axis(eye, indices, axis=1)
     return expanded, eye, weight
 
 
@@ -154,7 +170,9 @@ def evaluate_task(
             masks = _random_masks(schema, batch, jax.random.fold_in(key, i))
             _accumulate(total, step(params, batch, masks, weight))
         elif task_mode == "elem":
-            expanded, eye, elem_w = _expand_elem(batch, schema)
+            expanded, eye, elem_w = _expand_elem(
+                batch, schema, autoreg=getattr(model, "is_autoreg", False)
+            )
             elem_w = elem_w * jnp.repeat(weight, schema.max_length)
             n = expanded["length"].shape[0]
             seq_mask_init = get_initial_masks(schema, jnp.zeros(

@@ -37,6 +37,18 @@ _FALLBACK_PALETTE = [
 ]
 
 
+def rico_component_colormap() -> Dict[str, str]:
+    """Canonical rico component colors (counterpart of the reference's
+    ``data/component_legend.json``)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "rico_legend.json")
+    with open(path) as f:
+        legend = json.load(f)
+    return {name: entry["hex"] for name, entry in legend.items()}
+
+
 def make_colormap(vocabulary, cmap_name: Optional[str] = None) -> Dict[str, str]:
     """label -> css color for a vocabulary list (reference svg_rico.py:143-154)."""
     try:

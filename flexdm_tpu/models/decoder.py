@@ -27,6 +27,7 @@ class Decoder(nn.Module):
     latent_dim: int = 256
     context: Optional[str] = None
     detachment: str = "default"
+    dtype: str = None
 
     def setup(self):
         assert self.detachment in ("default", "flat", "none"), self.detachment
@@ -80,7 +81,7 @@ class Decoder(nn.Module):
                 units = column.shape[-1]
                 out_shape = (column.shape[-1],)
 
-            head = make_dense(units, f"decoder_{column.name}")
+            head = make_dense(units, f"decoder_{column.name}", self.dtype)
             if column.is_sequence:
                 h = seq if per_field is None else per_field[column.name]
                 outputs[column.name] = head(h).reshape((B, -1) + out_shape)

@@ -43,6 +43,7 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     use_elemwise_noise: bool = False
     noise_size: int = 4
+    dtype: str = None  # computation dtype (params stay float32)
 
     def setup(self):
         assert self.context in CONTEXT_NAMES, self.context
@@ -78,9 +79,10 @@ class Encoder(nn.Module):
                 # tiny (<= ~66 ids), the channel sum collapses into the same
                 # contraction, and — decisive on TPU — the backward pass is
                 # a plain matmul on the MXU rather than a scatter-add.
-                onehot = jax.nn.one_hot(x, table.shape[0], dtype=table.dtype)
+                cdt = self.dtype or table.dtype
+                onehot = jax.nn.one_hot(x, table.shape[0], dtype=cdt)
                 onehot = jnp.sum(onehot, axis=2 if column.is_sequence else 1)
-                h = onehot @ table
+                h = onehot @ table.astype(cdt)
             else:
                 special = self.param(
                     f"input_{column.name}_special",
@@ -89,7 +91,7 @@ class Encoder(nn.Module):
                 )
                 is_masked = jnp.all(x == MASK_VALUE, axis=-1)
                 is_unused = jnp.all(x == NULL_VALUE, axis=-1)
-                h = make_dense(self.latent_dim, f"input_{column.name}")(x)
+                h = make_dense(self.latent_dim, f"input_{column.name}", self.dtype)(x)
                 h = jnp.where(is_masked[..., None], special[0][None, None], h)
                 h = jnp.where(is_unused[..., None], special[1][None, None], h)
             if column.is_sequence:
@@ -106,6 +108,14 @@ class Encoder(nn.Module):
         if self.fusion == "add":
             seq = sum(data_s)
             canvas = sum(data_c) if data_c else None
+        elif self.fusion == "concat":
+            # Concatenate per-attribute embeddings, project back to D
+            # (reference encoder.py:112-124).
+            seq = jnp.concatenate(data_s, axis=-1)
+            seq = make_dense(self.latent_dim, "fusion_fc", self.dtype)(seq)
+            seq = nn.LayerNorm(epsilon=1e-3, name="fusion_norm")(seq)
+            seq = nn.Dropout(self.dropout)(seq, deterministic=deterministic)
+            canvas = None
         elif self.fusion == "flat":
             # (B, S, F, D) -> (B, S*F, D): one token per (element, field).
             F = len(data_s)
@@ -168,6 +178,6 @@ class Encoder(nn.Module):
                 seq.shape[:2] + (self.noise_size,),
                 dtype=seq.dtype,
             )
-            seq = seq + make_dense(self.latent_dim, "input_noise")(noise)
+            seq = seq + make_dense(self.latent_dim, "input_noise", self.dtype)(noise)
 
         return seq, seq_mask

@@ -154,7 +154,8 @@ def compute_mfp_loss(
         if column.demo_only or not column.is_sequence:
             continue
 
-        prediction = y_pred[name][:, : seq_mask.shape[1]]
+        # Score in float32 regardless of the model compute dtype.
+        prediction = y_pred[name][:, : seq_mask.shape[1]].astype(jnp.float32)
         if column.is_categorical:
             labels = y_true[name].astype(jnp.int32)
             loss, score = categorical_loss_and_score(labels, prediction)

@@ -67,6 +67,7 @@ class MFPModel(nn.Module):
     seq_type: str = "default"
     use_elemwise_noise: bool = False
     attention_impl: str = "auto"
+    dtype: str = None  # e.g. "bfloat16" for MXU-native compute; params f32
 
     @nn.compact
     def __call__(
@@ -86,6 +87,7 @@ class MFPModel(nn.Module):
             fusion=fusion,
             dropout=self.dropout,
             use_elemwise_noise=self.use_elemwise_noise,
+            dtype=self.dtype,
             name="encoder",
         )(inputs, deterministic)
         h = Blocks(
@@ -95,6 +97,7 @@ class MFPModel(nn.Module):
             num_heads=self.num_heads,
             dropout=self.dropout,
             attention_impl=self.attention_impl,
+            dtype=self.dtype,
             name="blocks",
         )(seq, seq_mask, deterministic=deterministic)
         return Decoder(
@@ -102,6 +105,7 @@ class MFPModel(nn.Module):
             latent_dim=self.latent_dim,
             context=self.context,
             detachment=detachment,
+            dtype=self.dtype,
             name="decoder",
         )(h, deterministic)
 
@@ -220,7 +224,14 @@ def forward_eval(
     """
     schema = model.schema
     modified = preprocess_for_test(inputs, schema, masks, tasks)
-    if num_iter > 1:
+    if not isinstance(model, MFPModel):
+        # Baselines: sequential decode conditioned on the masked inputs,
+        # merging committed predictions via the mfp masks internally.
+        outputs, _ = apply_model(
+            model, params, modified, inputs, masks,
+            deterministic=True, rngs={},
+        )
+    elif num_iter > 1:
         outputs = iterative_decode(
             model, params, masks, inputs, modified, num_iter
         )

@@ -32,12 +32,16 @@ def keras_embed_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-0.05, maxval=0.05)
 
 
-def make_dense(features: int, name: Optional[str] = None) -> nn.Dense:
-    return nn.Dense(features, kernel_init=dense_kernel_init, name=name)
+def make_dense(
+    features: int, name: Optional[str] = None, dtype=None
+) -> nn.Dense:
+    return nn.Dense(
+        features, kernel_init=dense_kernel_init, name=name, dtype=dtype
+    )
 
 
-def make_layernorm(name: Optional[str] = None) -> nn.LayerNorm:
-    return nn.LayerNorm(epsilon=1e-3, name=name)
+def make_layernorm(name: Optional[str] = None, dtype=None) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=1e-3, name=name, dtype=dtype)
 
 
 class PositionEmbedding(nn.Module):
@@ -68,6 +72,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int = 8
     lookahead: bool = True
     attention_impl: str = "auto"
+    dtype: str = None
 
     @nn.compact
     def __call__(
@@ -89,9 +94,9 @@ class MultiHeadAttention(nn.Module):
         def split_heads(t, s):
             return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split_heads(make_dense(self.emb_size, "query")(x), s_q)
-        k = split_heads(make_dense(self.emb_size, "key")(source), s_kv)
-        v = split_heads(make_dense(self.emb_size, "value")(source), s_kv)
+        q = split_heads(make_dense(self.emb_size, "query", self.dtype)(x), s_q)
+        k = split_heads(make_dense(self.emb_size, "key", self.dtype)(source), s_kv)
+        v = split_heads(make_dense(self.emb_size, "value", self.dtype)(source), s_kv)
 
         o = dot_product_attention(
             q,
@@ -102,7 +107,7 @@ class MultiHeadAttention(nn.Module):
             impl=self.attention_impl,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, s_q, self.emb_size)
-        return make_dense(self.emb_size, "out")(o)
+        return make_dense(self.emb_size, "out", self.dtype)(o)
 
 
 class _BlockBase(nn.Module):
@@ -113,11 +118,25 @@ class _BlockBase(nn.Module):
     conditional: bool = False
     lookahead: bool = True
     attention_impl: str = "auto"
+    dtype: str = None
 
     def _mlp(self, x):
-        h = make_dense(self.ff_dim or 2 * self.emb_size, "mlp_0")(x)
+        h = make_dense(self.ff_dim or 2 * self.emb_size, "mlp_0", self.dtype)(x)
         h = nn.relu(h)
-        return make_dense(self.emb_size, "mlp_1")(h)
+        return make_dense(self.emb_size, "mlp_1", self.dtype)(h)
+
+    def _attn(self, name="attn"):
+        return MultiHeadAttention(
+            self.emb_size,
+            self.num_heads,
+            lookahead=self.lookahead,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    def _norm(self, name):
+        return make_layernorm(name, self.dtype)
 
 
 class TransformerBlock(_BlockBase):
@@ -125,21 +144,15 @@ class TransformerBlock(_BlockBase):
 
     @nn.compact
     def __call__(self, x, key_mask=None, z=None, deterministic=True):
-        y = MultiHeadAttention(
-            self.emb_size,
-            self.num_heads,
-            lookahead=self.lookahead,
-            attention_impl=self.attention_impl,
-            name="attn",
-        )(x, key_mask)
+        y = self._attn()(x, key_mask)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = make_layernorm("norm1")(x + y)
+        x = self._norm("norm1")(x + y)
         if self.conditional:
-            zc = make_dense(self.emb_size, "conditional")(z)[:, None, :]
-            x = make_layernorm("norm3")(x + zc)
+            zc = make_dense(self.emb_size, "conditional", self.dtype)(z)[:, None, :]
+            x = self._norm("norm3")(x + zc)
         y = self._mlp(x)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return make_layernorm("norm2")(x + y)
+        return self._norm("norm2")(x + y)
 
 
 class DeepSVGBlock(_BlockBase):
@@ -147,19 +160,13 @@ class DeepSVGBlock(_BlockBase):
 
     @nn.compact
     def __call__(self, x, key_mask=None, z=None, deterministic=True):
-        y = make_layernorm("norm1")(x)
-        y = MultiHeadAttention(
-            self.emb_size,
-            self.num_heads,
-            lookahead=self.lookahead,
-            attention_impl=self.attention_impl,
-            name="attn",
-        )(y, key_mask)
+        y = self._norm("norm1")(x)
+        y = self._attn()(y, key_mask)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = x + y
         if self.conditional:
-            x = x + make_dense(self.emb_size, "conditional")(z)[:, None, :]
-        y = make_layernorm("norm2")(x)
+            x = x + make_dense(self.emb_size, "conditional", self.dtype)(z)[:, None, :]
+        y = self._norm("norm2")(x)
         y = self._mlp(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x + y
@@ -182,6 +189,7 @@ class Blocks(nn.Module):
     lookahead: bool = True
     dropout: float = 0.1
     attention_impl: str = "auto"
+    dtype: str = None
 
     @nn.compact
     def __call__(self, seq, key_mask=None, z=None, deterministic=True):
@@ -194,6 +202,7 @@ class Blocks(nn.Module):
                 conditional=self.conditional,
                 lookahead=self.lookahead,
                 attention_impl=self.attention_impl,
+                dtype=self.dtype,
                 name=f"seq2seq_{i}",
             )(seq, key_mask, z, deterministic)
         return seq

@@ -69,6 +69,7 @@ class TrainConfig:
     seed: int = 0
     num_heads: int = 8
     attention_impl: str = "auto"
+    dtype: Optional[str] = None  # e.g. "bfloat16"; parameters stay float32
     num_devices: Optional[int] = None
     model_parallel: int = 1
     log_every: int = 50
@@ -109,6 +110,7 @@ def build_model(config: TrainConfig, schema):
             input_dtype=config.input_dtype,
             seq_type=config.seq_type,
             use_elemwise_noise=config.use_elemwise_noise,
+            dtype=config.dtype,
             **common,
         )
     if config.arch_type == "canvasvae":

@@ -71,6 +71,18 @@ def test_pallas_gradients_match_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_long_sequence_regime(rng):
+    """S > 128 is where auto dispatch selects the Pallas kernel on TPU;
+    verify correctness at that scale (interpret mode on CPU)."""
+    q, k, v = make_qkv(rng, b=1, h=2, s=200, dh=16)
+    mask = jnp.ones((1, 200), bool).at[0, 150:].set(False)
+    ref = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
+    out = dot_product_attention(
+        q, k, v, key_mask=mask, impl="pallas", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fully_masked_rows_do_not_nan(rng):
     q, k, v = make_qkv(rng, b=1, h=1, s=4, dh=8)
     mask = jnp.zeros((1, 4), bool)  # nothing attendable

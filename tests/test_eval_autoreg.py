@@ -1,0 +1,51 @@
+"""Autoreg-protocol evaluation pieces: element reordering + baseline eval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexdm_tpu.evaluation.harness import _expand_elem
+from flexdm_tpu.models import forward_eval
+from flexdm_tpu.models.baselines import AutoReg
+from flexdm_tpu.models.masking import get_initial_masks, get_seq_mask
+from tests.test_baselines import _common, _init
+from tests.test_masking import tiny_inputs, tiny_schema
+
+
+def test_expand_elem_autoreg_moves_target_last():
+    schema = tiny_schema()
+    x = tiny_inputs(schema=schema, lengths=(3, 1, 0, 2))
+    expanded, eye, weight = _expand_elem(x, schema, autoreg=True)
+    S = schema.max_length
+    B = 4
+    assert expanded["left"].shape == (B * S, S, 1)
+    lengths = np.asarray(x["length"][:, 0])
+    left = np.asarray(x["left"][..., 0])
+    for b in range(B):
+        L = lengths[b]
+        for i in range(L + 1):  # valid elements only
+            r = b * S + i
+            # replica (b, i): element i moved to position L
+            row = np.asarray(expanded["left"][r, :, 0])
+            assert row[L] == left[b, i]
+            # the mask marks exactly that position
+            m = np.asarray(eye[r])
+            assert m[L] and m.sum() == 1
+            assert float(weight[r]) == 1.0
+        # padding replicas weighted out
+        assert float(weight[b * S + L + 1]) == 0.0 if L + 1 < S else True
+
+
+def test_forward_eval_with_autoreg_baseline():
+    schema = tiny_schema()
+    x = tiny_inputs(schema=schema, lengths=(2, 3, 1, 2))
+    seq = get_seq_mask(x["length"], schema.max_length)
+    masks = get_initial_masks(schema, seq)
+    masks["left"] = seq
+    model = AutoReg(**_common(schema))
+    params = _init(model, x, masks)
+    out = forward_eval(model, params, x, masks)
+    # unmasked fields merged back as one-hot ground truth
+    onehot = jax.nn.one_hot(x["top"], 8)
+    np.testing.assert_allclose(np.asarray(out["top"]), np.asarray(onehot))
+    assert np.all(np.isfinite(np.asarray(out["left"])))
