@@ -62,6 +62,10 @@ def train_main(argv=None) -> None:
     parser.add_argument("--validation_freq", default=10, type=int)
     parser.add_argument("--resume", action="store_true",
                         help="resume from <job-dir>/checkpoints/last")
+    parser.add_argument("--input_mode", default="device",
+                        choices=["device", "host"],
+                        help="device: whole split resident in HBM, on-device "
+                             "batch gather; host: prefetch-threaded streaming")
     parser.add_argument("--checkpoint_every", default=0, type=int,
                         help="refresh the resumable checkpoint every N epochs")
     args = parser.parse_args(argv)
@@ -98,6 +102,7 @@ def train_main(argv=None) -> None:
         enable_profile=args.enable_profile,
         resume=args.resume,
         checkpoint_every=args.checkpoint_every,
+        input_mode=args.input_mode,
     )
     results = train(config)
     print("test metrics:")

@@ -32,7 +32,12 @@ import optax
 from flax import struct
 
 from ..data import DatasetSpec
-from ..data.pipeline import NUM_VALID_KEY, split_device_batch
+from ..data.pipeline import (
+    NUM_VALID_KEY,
+    DeviceDataCache,
+    Prefetcher,
+    split_device_batch,
+)
 from ..models import MFPModel, forward_train, make_task_config
 from ..models.baselines import BART, AutoReg, CanvasVAE, LayoutVAE
 from ..models.masking import get_initial_masks, get_seq_mask, preprocess_for_test
@@ -77,6 +82,11 @@ class TrainConfig:
     use_elemwise_noise: bool = False
     resume: bool = False  # restore params+optimizer+epoch from last checkpoint
     checkpoint_every: int = 0  # also refresh 'last' every N epochs (0 = end only)
+    # Input pipeline: 'device' keeps the whole (per-host) train split
+    # resident in HBM and gathers batches on-device — at document scale this
+    # removes the host from the hot loop entirely.  'host' streams decoded
+    # batches through a background prefetch thread.
+    input_mode: str = "device"
 
     def to_json(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -287,10 +297,20 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)
     state = mesh_lib.replicate(state, mesh)
 
-    train_step = jax.jit(
-        make_train_step(model, task_config, tx, config.l2),
-        donate_argnums=(0,),
-    )
+    base_step = make_train_step(model, task_config, tx, config.l2)
+    if config.input_mode == "device":
+        cache = DeviceDataCache(train_loader)
+        batch_sharding = mesh_lib.batch_sharding(mesh)
+
+        def indexed_step(state, indices, base_key):
+            batch = jax.lax.with_sharding_constraint(
+                cache.gather(indices), batch_sharding
+            )
+            return base_step(state, batch, base_key)
+
+        train_step = jax.jit(indexed_step, donate_argnums=(0,))
+    else:
+        train_step = jax.jit(base_step, donate_argnums=(0,))
     val_step = jax.jit(make_val_step(model, task_config))
 
     base_key = jax.random.PRNGKey(config.seed)
@@ -299,7 +319,25 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     steps_per_epoch = spec.steps_per_epoch("train")
     best_score = -math.inf
     history = []
-    train_iter = iter(train_loader)
+    if config.input_mode == "device":
+        def epoch_batches(epoch):
+            return cache.epoch_indices(config.batch_size, config.seed, epoch)
+    else:
+        host_iter = iter(
+            Prefetcher(
+                train_loader,
+                depth=2,
+                transform=lambda b: mesh_lib.shard_batch(
+                    split_device_batch(b), mesh
+                ),
+            )
+        )
+
+        def epoch_batches(epoch):
+            del epoch
+            for _ in range(steps_per_epoch):
+                yield next(host_iter)
+
     stop = False
 
     if config.enable_profile:
@@ -309,10 +347,7 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, config.num_epochs + 1):
         epoch_metrics = None
-        for _ in range(steps_per_epoch):
-            batch = mesh_lib.shard_batch(
-                split_device_batch(next(train_iter)), mesh
-            )
+        for batch in epoch_batches(epoch):
             state, metrics = train_step(state, batch, base_key)
             step += 1
             epoch_metrics = metrics
