@@ -11,6 +11,32 @@ import argparse
 import logging
 
 
+def _apply_preset(argv, parser):
+    """--preset <name|path> loads configs/<name>.json as argument defaults
+    (explicit CLI flags still win)."""
+    import json
+    import os
+
+    argv = list(argv)
+    if "--preset" not in argv:
+        return argv
+    i = argv.index("--preset")
+    name = argv[i + 1]
+    del argv[i : i + 2]
+    path = name if os.path.exists(name) else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", name + ".json",
+    )
+    with open(path) as f:
+        preset = json.load(f)
+    parser.set_defaults(**preset)
+    # preset may satisfy required args
+    for action in parser._actions:
+        if action.dest in preset:
+            action.required = False
+    return argv
+
+
 def _add_base_args(parser: argparse.ArgumentParser) -> None:
     # Mirrors reference args.py:6-92.
     parser.add_argument(
@@ -68,6 +94,11 @@ def train_main(argv=None) -> None:
                              "batch gather; host: prefetch-threaded streaming")
     parser.add_argument("--checkpoint_every", default=0, type=int,
                         help="refresh the resumable checkpoint every N epochs")
+    import sys
+
+    argv = _apply_preset(
+        argv if argv is not None else sys.argv[1:], parser
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper()))

@@ -191,11 +191,8 @@ class DeviceDataCache:
             self.data[k] = jax.device_put(jnp.asarray(stacked))
 
     def gather(self, indices):
-        """Batch = dataset[indices], computed on device (jit-friendly)."""
-        import jax.numpy as jnp
-
-        idx = jnp.asarray(indices)
-        return {k: jnp.take(v, idx, axis=0) for k, v in self.data.items()}
+        """Batch = dataset[indices], computed on device."""
+        return gather_batch(self.data, indices)
 
     def epoch_indices(self, batch_size: int, seed: int, epoch: int):
         """Host-side permutation -> per-step (B,) index arrays (tiny)."""
@@ -204,6 +201,20 @@ class DeviceDataCache:
         stop = self.num_records - self.num_records % batch_size
         for start in range(0, stop, batch_size):
             yield order[start : start + batch_size].astype(np.int32)
+
+
+def gather_batch(data, indices):
+    """``{k: dataset_array}`` + (B,) indices -> batch dict (jit-friendly).
+
+    Keep the dataset dict an EXPLICIT argument of any jit-compiled caller —
+    a closure capture can end up embedded in the serialized HLO module
+    (observed: a 2048-doc split blew past the remote-compile request size
+    limit), while arguments are always runtime parameters.
+    """
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(indices)
+    return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
 
 def split_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -299,16 +299,24 @@ def train(config: TrainConfig) -> Dict[str, Any]:
 
     base_step = make_train_step(model, task_config, tx, config.l2)
     if config.input_mode == "device":
+        from ..data.pipeline import gather_batch
+
         cache = DeviceDataCache(train_loader)
         batch_sharding = mesh_lib.batch_sharding(mesh)
 
-        def indexed_step(state, indices, base_key):
+        # The dataset dict is an explicit argument (NOT a closure capture):
+        # captured arrays can be embedded into the serialized HLO, which at
+        # dataset scale overflows compile transports.
+        def indexed_step(state, data, indices, base_key):
             batch = jax.lax.with_sharding_constraint(
-                cache.gather(indices), batch_sharding
+                gather_batch(data, indices), batch_sharding
             )
             return base_step(state, batch, base_key)
 
-        train_step = jax.jit(indexed_step, donate_argnums=(0,))
+        indexed_step = jax.jit(indexed_step, donate_argnums=(0,))
+
+        def train_step(state, indices, base_key):
+            return indexed_step(state, cache.data, indices, base_key)
     else:
         train_step = jax.jit(base_step, donate_argnums=(0,))
     val_step = jax.jit(make_val_step(model, task_config))
