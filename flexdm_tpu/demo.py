@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from .data import DatasetSpec, split_device_batch
-from .data.schema import MASK_VALUE, NULL_VALUE
 from .evaluation.harness import _group_masks
 from .helpers.svg import SVGBuilder
 from .models import forward_eval

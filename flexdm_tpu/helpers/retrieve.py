@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from base64 import b64encode
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -11,13 +11,14 @@ placeholder (or retrieved) string clipped to their box.
 The reference's crello variant additionally reconstructed rich per-character
 styling from pickled ``colorMap``/``boldMap`` assets shipped with the raw
 dataset (reference svg_crello.py:265-433); those assets are data-release
-specific and are applied here only when the caller passes ``text_styles``.
+specific — supply the released ``fonts.css`` via ``fonts_css`` for real font
+faces, and per-character span styling can be layered on the returned SVG.
 """
 
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 NS = {
     "svg": "http://www.w3.org/2000/svg",

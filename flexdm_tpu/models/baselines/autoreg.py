@@ -22,7 +22,7 @@ the encoder memory, MLP.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from ...data.schema import Schema
 from ..decoder import Decoder
 from ..encoder import Encoder
-from ..masking import get_seq_mask
 from ..transformer import (
     Blocks,
     MultiHeadAttention,

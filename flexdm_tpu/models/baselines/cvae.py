@@ -10,7 +10,7 @@ per-attribute ``MA*`` wrappers (cvae.py:66-91, 121-147, 179-204).  Keras
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -68,6 +68,7 @@ class MFPModel(nn.Module):
     use_elemwise_noise: bool = False
     attention_impl: str = "auto"
     dtype: str = None  # e.g. "bfloat16" for MXU-native compute; params f32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -98,6 +99,7 @@ class MFPModel(nn.Module):
             dropout=self.dropout,
             attention_impl=self.attention_impl,
             dtype=self.dtype,
+            remat=self.remat,
             name="blocks",
         )(seq, seq_mask, deterministic=deterministic)
         return Decoder(

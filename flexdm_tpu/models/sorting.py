@@ -9,7 +9,7 @@ eagerly.  Here sorting is a batched ``lexsort`` and shuffling a per-sample
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

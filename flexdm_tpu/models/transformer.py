@@ -190,10 +190,16 @@ class Blocks(nn.Module):
     dropout: float = 0.1
     attention_impl: str = "auto"
     dtype: str = None
+    remat: bool = False  # rematerialize block activations in the backward
 
     @nn.compact
     def __call__(self, seq, key_mask=None, z=None, deterministic=True):
         block_cls = BLOCK_TYPES[self.block_type]
+        if self.remat:
+            # Trade FLOPs for HBM: recompute each block's activations in
+            # the backward pass (jax.checkpoint) — matters for the scaled
+            # 2x depth/width configs on long sequences.
+            block_cls = nn.remat(block_cls, static_argnums=(4,))
         for i in range(self.num_blocks):
             seq = block_cls(
                 emb_size=self.latent_dim,

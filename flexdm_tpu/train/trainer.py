@@ -23,7 +23,7 @@ import logging
 import math
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,7 @@ class TrainConfig:
     num_heads: int = 8
     attention_impl: str = "auto"
     dtype: Optional[str] = None  # e.g. "bfloat16"; parameters stay float32
+    remat: bool = False  # jax.checkpoint over transformer blocks
     num_devices: Optional[int] = None
     model_parallel: int = 1
     log_every: int = 50
@@ -121,6 +122,7 @@ def build_model(config: TrainConfig, schema):
             seq_type=config.seq_type,
             use_elemwise_noise=config.use_elemwise_noise,
             dtype=config.dtype,
+            remat=config.remat,
             **common,
         )
     if config.arch_type == "canvasvae":

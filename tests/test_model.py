@@ -157,6 +157,21 @@ def test_context_id_runs(crello_spec):
     assert out["type"].shape == (2, spec.schema.max_length, 1, spec.schema["type"].input_dim)
 
 
+def test_remat_gradients_match(crello_setup):
+    """nn.remat over blocks must not change gradients (same params tree)."""
+    spec, model, params, batch, masks = crello_setup
+    tc = make_task_config(spec.schema, "random")
+    model_r = MFPModel(
+        spec.schema, latent_dim=32, num_blocks=2, num_heads=4,
+        attention_impl="xla", remat=True,
+    )
+    key = jax.random.PRNGKey(3)
+    g = jax.grad(lambda p: forward_train(model, p, batch, key, tc, train=False)[0])(params)
+    gr = jax.grad(lambda p: forward_train(model_r, p, batch, key, tc, train=False)[0])(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_maskgit_only_commits_masked_fields(crello_setup):
     spec, model, params, batch, _ = crello_setup
     schema = spec.schema
