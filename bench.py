@@ -41,6 +41,7 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from flexdm_tpu.utils import enable_persistent_compilation_cache
 
@@ -99,23 +100,39 @@ def main() -> None:
     batch = mesh_lib.shard_batch(batch, mesh)
 
     task_config = make_task_config(spec.schema, "elem_pos_attr_img_txt")
-    step_fn = jax.jit(
-        make_train_step(model, task_config, tx, l2=1e-2), donate_argnums=(0,)
-    )
-    key = jax.random.PRNGKey(0)
+    from flexdm_tpu.data.pipeline import DeviceDataCache
+    from flexdm_tpu.train.trainer import make_scan_steps
 
-    # Warmup / compile.
+    # Benchmark the trainer's actual execution mode: dataset resident in
+    # HBM, K steps bundled into one lax.scan call (zero host involvement).
+    cache = DeviceDataCache(loader)
+    base_step = make_train_step(model, task_config, tx, l2=1e-2)
+    # No donation: the same initial state is reused across timing runs.
+    scan_fn = jax.jit(make_scan_steps(base_step, mesh))
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    def index_block(n):
+        return jnp.asarray(
+            rng.integers(0, cache.num_records, size=(n, batch_size), dtype=np.int32)
+        )
+
+    # NOTE on timing: on this platform's remote-execution path,
+    # jax.block_until_ready returns before the device finishes (measured
+    # >1000x "speedups" otherwise); fetching a scalar VALUE to the host is
+    # the only reliable completion barrier, so every timed region below ends
+    # with float(loss).
+    def run(n):
+        s, m = scan_fn(state0, cache.data, index_block(n), key)
+        return float(m["loss"])
+
+    state0 = state
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    loss_value = run(steps)
     compile_time = time.perf_counter() - t0
 
-    # Timed steps (device-bound: batch stays resident; the per-step key is
-    # folded from the step counter inside the compiled program).
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    loss_value = run(steps)
     elapsed = time.perf_counter() - t0
     steps_per_sec = steps / elapsed
     docs_per_sec = steps_per_sec * batch_size
@@ -148,7 +165,7 @@ def main() -> None:
                     "devices": len(jax.devices()),
                     "backend": jax.default_backend(),
                     "compile_time_sec": round(compile_time, 2),
-                    "loss": float(metrics["loss"]),
+                    "loss": loss_value,
                 },
             }
         )

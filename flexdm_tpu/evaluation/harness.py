@@ -105,8 +105,15 @@ def _expand_elem(
 
 
 def make_eval_step(model: MFPModel, num_iter: int, sort: bool):
-    """jit-compiled: forward with given masks + num/den metrics."""
+    """jit-compiled: forward with given masks + num/den metrics.
+
+    Returns ``(step, name_order)``; the step returns ONE stacked array so
+    the host pays a single fetch per batch (per-array fetches each cost a
+    relay round trip on this platform).  ``name_order`` is filled at trace
+    time — call the step once before reading it.
+    """
     schema = model.schema
+    name_order: list = []
 
     def step(params, batch, masks, sample_weight):
         prediction = forward_eval(model, params, batch, masks, num_iter=num_iter)
@@ -121,18 +128,23 @@ def make_eval_step(model: MFPModel, num_iter: int, sort: bool):
             sort_flag=sort_flag,
             sample_weight=sample_weight,
         )
-        return {
-            k: v
-            for k, v in metrics.items()
-            if k.endswith("_score_num") or k.endswith("_score_den")
-        }
+        names = tuple(
+            sorted(
+                k for k in metrics
+                if k.endswith("_score_num") or k.endswith("_score_den")
+            )
+        )
+        if not name_order:
+            name_order.extend(names)
+        return jnp.stack([metrics[k].astype(jnp.float32) for k in names])
 
-    return jax.jit(step)
+    return jax.jit(step), name_order
 
 
-def _accumulate(total: Dict[str, float], metrics) -> None:
-    for k, v in metrics.items():
-        total[k] += float(v)
+def _accumulate(total: Dict[str, float], names, stacked) -> None:
+    values = np.asarray(stacked)  # single host fetch per batch
+    for k, v in zip(names, values.tolist()):
+        total[k] += v
 
 
 def _batches(loader) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
@@ -161,14 +173,14 @@ def evaluate_task(
     """Scores for one task over a split: {field: Σnum/Σden}."""
     schema = model.schema
     sort = schema.sort_pos and task_mode == "pos"
-    step = make_eval_step(model, num_iter, sort)
+    step, names = make_eval_step(model, num_iter, sort)
     key = jax.random.PRNGKey(seed)
     total: Dict[str, float] = defaultdict(float)
 
     for i, (batch, weight) in enumerate(_batches(loader)):
         if task_mode == "random":
             masks = _random_masks(schema, batch, jax.random.fold_in(key, i))
-            _accumulate(total, step(params, batch, masks, weight))
+            _accumulate(total, names, step(params, batch, masks, weight))
         elif task_mode == "elem":
             expanded, eye, elem_w = _expand_elem(
                 batch, schema, autoreg=getattr(model, "is_autoreg", False)
@@ -197,11 +209,11 @@ def evaluate_task(
                 for c in schema.modeled:
                     if c.is_sequence:
                         masks[c.name] = sub_eye
-                _accumulate(total, step(params, sub, masks, sub_w))
+                _accumulate(total, names, step(params, sub, masks, sub_w))
         else:
             assert group is not None, task_mode
             masks = _group_masks(schema, batch, group[1])
-            _accumulate(total, step(params, batch, masks, weight))
+            _accumulate(total, names, step(params, batch, masks, weight))
 
     ans = {}
     for c in schema.columns:

@@ -188,14 +188,63 @@ def make_train_step(
     return train_step
 
 
-def make_val_step(model: MFPModel, task_config) -> Callable:
+def make_scan_steps(
+    base_step: Callable,
+    mesh,
+) -> Callable:
+    """Bundle K train steps into one compiled call via ``lax.scan``.
+
+    With the dataset resident in HBM (``input_mode='device'``) an entire
+    sweep of steps needs no host involvement at all: the scan carries the
+    train state and consumes a (K, B) block of batch indices, gathering each
+    step's batch on device.  Amortizes per-step host dispatch, which at this
+    model size is comparable to the device compute itself.
+    """
+    from ..data.pipeline import gather_batch
+
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    def scan_steps(state: TrainState, data, indices, base_key):
+        def body(state, idx):
+            batch = jax.lax.with_sharding_constraint(
+                gather_batch(data, idx), batch_sharding
+            )
+            state, metrics = base_step(state, batch, base_key)
+            return state, None
+
+        state, _ = jax.lax.scan(body, state, indices[:-1])
+        # Final step outside the scan so its metrics are returned.
+        batch = jax.lax.with_sharding_constraint(
+            gather_batch(data, indices[-1]), batch_sharding
+        )
+        return base_step(state, batch, base_key)
+
+    return scan_steps
+
+
+def make_val_step(model: MFPModel, task_config):
+    """Validation step packing all scalars into ONE device array.
+
+    Per-array host fetches cost a full relay round trip each on this
+    platform (~35 ms), which would dominate evaluation; packing means one
+    fetch per batch.  Returns ``(jit-able step, name_order)`` — the name
+    list is captured at trace time (metric keys are static given the
+    schema), so call the step once before reading it.
+    """
+    name_order: list = []
+
     def val_step(params, batch, key):
         _, metrics = forward_train(
             model, params, batch, key, task_config, train=False
         )
-        return metrics
+        names = tuple(sorted(metrics))
+        if not name_order:
+            name_order.extend(names)  # populated during tracing
+        return jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in names]
+        )
 
-    return val_step
+    return val_step, name_order
 
 
 def evaluate_split(
@@ -205,6 +254,7 @@ def evaluate_split(
     schema,
     key: jax.Array,
     mesh=None,
+    name_order=None,
 ) -> Dict[str, float]:
     """Run the randomly-masked objective over a split; global num/den scores.
 
@@ -222,8 +272,9 @@ def evaluate_split(
         batch = split_device_batch(host_batch)
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
-        metrics = val_step(params, batch, jax.random.fold_in(key, i))
-        metrics = {k: float(v) for k, v in metrics.items()}
+        stacked = val_step(params, batch, jax.random.fold_in(key, i))
+        values = np.asarray(stacked)  # single host fetch
+        metrics = dict(zip(name_order, values.tolist()))
         # NOTE: padded tail samples repeat real samples; their contribution
         # to num/den is a duplicate of a real sample, acceptable for val
         # monitoring. Exact task evaluation lives in evaluation/harness.py.
@@ -260,6 +311,9 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     ckpt_dir = os.path.join(config.job_dir, "checkpoints")
     log_path = os.path.join(config.job_dir, "logs", "history.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    from ..utils.tboard import SummaryWriter
+
+    tb_writer = SummaryWriter(os.path.join(config.job_dir, "logs"))
 
     spec = DatasetSpec(config.dataset_name, config.data_dir, config.batch_size)
     schema = spec.schema
@@ -315,13 +369,14 @@ def train(config: TrainConfig) -> Dict[str, Any]:
             )
             return base_step(state, batch, base_key)
 
-        indexed_step = jax.jit(indexed_step, donate_argnums=(0,))
-
-        def train_step(state, indices, base_key):
-            return indexed_step(state, cache.data, indices, base_key)
+        del indexed_step  # single-step path superseded by the scan bundle
+        scan_fn = jax.jit(
+            make_scan_steps(base_step, mesh), donate_argnums=(0,)
+        )
     else:
         train_step = jax.jit(base_step, donate_argnums=(0,))
-    val_step = jax.jit(make_val_step(model, task_config))
+    val_step_fn, val_names = make_val_step(model, task_config)
+    val_step = jax.jit(val_step_fn)
 
     base_key = jax.random.PRNGKey(config.seed)
     val_key = jax.random.fold_in(base_key, 2**30)
@@ -330,8 +385,15 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     best_score = -math.inf
     history = []
     if config.input_mode == "device":
-        def epoch_batches(epoch):
-            return cache.epoch_indices(config.batch_size, config.seed, epoch)
+        def run_epoch(state, epoch):
+            # One compiled call per epoch: scan over the epoch's index block.
+            block = np.stack(
+                list(cache.epoch_indices(config.batch_size, config.seed, epoch))
+            )
+            state, metrics = scan_fn(
+                state, cache.data, jnp.asarray(block), base_key
+            )
+            return state, metrics, block.shape[0]
     else:
         host_iter = iter(
             Prefetcher(
@@ -343,10 +405,12 @@ def train(config: TrainConfig) -> Dict[str, Any]:
             )
         )
 
-        def epoch_batches(epoch):
+        def run_epoch(state, epoch):
             del epoch
+            metrics = None
             for _ in range(steps_per_epoch):
-                yield next(host_iter)
+                state, metrics = train_step(state, next(host_iter), base_key)
+            return state, metrics, steps_per_epoch
 
     stop = False
 
@@ -356,11 +420,8 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     t_start = time.time()
     step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, config.num_epochs + 1):
-        epoch_metrics = None
-        for batch in epoch_batches(epoch):
-            state, metrics = train_step(state, batch, base_key)
-            step += 1
-            epoch_metrics = metrics
+        state, epoch_metrics, n_steps = run_epoch(state, epoch)
+        step += n_steps
         loss = float(epoch_metrics["loss"])
         if not math.isfinite(loss):
             logger.error("non-finite loss at epoch %d; terminating", epoch)
@@ -376,7 +437,8 @@ def train(config: TrainConfig) -> Dict[str, Any]:
 
         if epoch % config.validation_freq == 0 or epoch == config.num_epochs or stop:
             val_metrics = evaluate_split(
-                val_step, state.params, val_loader, schema, val_key, mesh
+                val_step, state.params, val_loader, schema, val_key, mesh,
+                name_order=val_names,
             )
             record.update({f"val_{k}": v for k, v in val_metrics.items()})
             if val_metrics["total_score"] > best_score:
@@ -390,6 +452,8 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         history.append(record)
         with open(log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        tb_writer.scalars(step, {k: v for k, v in record.items()
+                                 if k not in ("epoch", "step")})
         logger.info("epoch %d: %s", epoch, record)
         if config.checkpoint_every and epoch % config.checkpoint_every == 0:
             ckpt_lib.save_checkpoint(last_path, jax.device_get(state))
@@ -402,6 +466,7 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     test_metrics = evaluate_split(
         val_step, state.params, test_loader, schema,
         jax.random.fold_in(base_key, 2**30 + 1), mesh,
+        name_order=val_names,
     )
     logger.info("test: %s", test_metrics)
 
@@ -412,6 +477,8 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     ckpt_lib.save_checkpoint(
         os.path.join(ckpt_dir, "last"), jax.device_get(state)
     )
+    tb_writer.scalars(step, {f"test_{k}": v for k, v in test_metrics.items()})
+    tb_writer.close()
 
     return {
         "history": history,

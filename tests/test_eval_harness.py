@@ -67,7 +67,7 @@ def test_elem_vectorized_matches_per_sample_loop(setup):
     )
 
     # Manual per-(sample, element) loop over the same split.
-    step = make_eval_step(model, num_iter=1, sort=False)
+    step, names = make_eval_step(model, num_iter=1, sort=False)
     from collections import defaultdict
 
     total = defaultdict(float)
@@ -86,9 +86,9 @@ def test_elem_vectorized_matches_per_sample_loop(setup):
                 for c in schema.modeled:
                     if c.is_sequence:
                         masks[c.name] = eye
-                m = step(params, one, masks, jnp.ones((1,)))
-                for k, v in m.items():
-                    total[k] += float(v)
+                stacked = step(params, one, masks, jnp.ones((1,)))
+                for k, v in zip(names, np.asarray(stacked).tolist()):
+                    total[k] += v
 
     for c in schema.columns:
         num, den = total.get(f"{c.name}_score_num"), total.get(f"{c.name}_score_den")

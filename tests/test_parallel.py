@@ -109,8 +109,10 @@ def test_model_parallel_axis_accepted(setup):
 def test_val_step_on_mesh(setup):
     spec, model, tc, tx, state, batch = setup
     mesh = mesh_lib.make_mesh(8)
-    val_step = jax.jit(make_val_step(model, tc))
+    val_fn, names = make_val_step(model, tc)
+    val_step = jax.jit(val_fn)
     b = mesh_lib.shard_batch(batch, mesh)
     p = mesh_lib.replicate(state.params, mesh)
-    metrics = val_step(p, b, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["total_score"]))
+    stacked = val_step(p, b, jax.random.PRNGKey(0))
+    metrics = dict(zip(names, np.asarray(stacked).tolist()))
+    assert np.isfinite(metrics["total_score"])
