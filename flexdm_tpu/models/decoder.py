@@ -19,7 +19,22 @@ import jax.numpy as jnp
 
 from ..data.schema import Schema
 from .masking import get_seq_mask
-from .transformer import make_dense
+from .transformer import dense_kernel_init, make_dense
+
+
+class DenseParams(nn.Module):
+    """Kernel/bias parameters with nn.Dense's exact tree layout, exposed
+    for fused (concatenated) application by the parent module."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", dense_kernel_init, (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class Decoder(nn.Module):
@@ -72,15 +87,58 @@ class Decoder(nn.Module):
             per_field = None
             B = seq.shape[0]
 
-        outputs: Dict[str, jnp.ndarray] = {}
-        for column in valid:
+        def head_shapes(column):
             if column.is_categorical:
                 units = column.shape[-1] * column.input_dim
                 out_shape = (column.shape[-1], column.input_dim)
             else:
                 units = column.shape[-1]
                 out_shape = (column.shape[-1],)
+            return units, out_shape
 
+        outputs: Dict[str, jnp.ndarray] = {}
+
+        if self.detachment == "default":
+            # All sequence heads share the same input, so their Dense
+            # kernels concatenate into ONE (D, sum units) matmul — ~15
+            # small kernels collapse into a single MXU-friendly one.
+            # Parameter layout stays identical to per-head nn.Dense.
+            seq_cols = [c for c in valid if c.is_sequence]
+            kbs = []
+            for column in seq_cols:
+                units, _ = head_shapes(column)
+                kbs.append(
+                    DenseParams(units, name=f"decoder_{column.name}")(
+                        self.latent_dim
+                    )
+                )
+            kernel = jnp.concatenate([k for k, _ in kbs], axis=1)
+            bias = jnp.concatenate([b for _, b in kbs], axis=0)
+            if self.dtype is not None:
+                kernel = kernel.astype(self.dtype)
+                bias = bias.astype(self.dtype)
+                seq = seq.astype(self.dtype)
+            fused = seq @ kernel + bias
+            offset = 0
+            for column in seq_cols:
+                units, out_shape = head_shapes(column)
+                outputs[column.name] = fused[
+                    ..., offset : offset + units
+                ].reshape((B, -1) + out_shape)
+                offset += units
+            for column in valid:
+                if not column.is_sequence:
+                    units, out_shape = head_shapes(column)
+                    head = make_dense(
+                        units, f"decoder_{column.name}", self.dtype
+                    )
+                    outputs[column.name] = head(canvas_h).reshape(
+                        (B,) + out_shape
+                    )
+            return outputs
+
+        for column in valid:
+            units, out_shape = head_shapes(column)
             head = make_dense(units, f"decoder_{column.name}", self.dtype)
             if column.is_sequence:
                 h = seq if per_field is None else per_field[column.name]

@@ -65,20 +65,57 @@ class Encoder(nn.Module):
         B = inputs["length"].shape[0]
         seq_mask = get_seq_mask(inputs["length"], schema.max_length)
 
+        # Categorical sequence columns fuse into ONE matmul: each column's
+        # channel-summed one-hot (vocabularies are tiny, <= ~66 ids) is
+        # concatenated along the vocab axis and multiplied by the stacked
+        # embedding tables.  Sum-fusion over columns falls out of the same
+        # contraction, the backward is a single MXU matmul (no scatters),
+        # and ~15 small kernels collapse into one.  Parameters stay
+        # per-column (concatenated at apply time) for checkpoint parity.
+        cat_seq = [
+            c for c in schema.valid_columns(self.use_canvas)
+            if c.is_categorical and c.is_sequence
+        ]
         data_s, data_c = [], []
         keys_s = []
+        if self.fusion == "add" and cat_seq:
+            tables = [
+                self.param(
+                    f"input_{c.name}",
+                    keras_embed_init,
+                    (c.input_dim + 2, self.latent_dim),
+                )
+                for c in cat_seq
+            ]
+            cdt = self.dtype or tables[0].dtype
+            onehots = jnp.concatenate(
+                [
+                    jnp.sum(
+                        jax.nn.one_hot(
+                            inputs[c.name], c.input_dim + 2, dtype=cdt
+                        ),
+                        axis=2,
+                    )
+                    for c in cat_seq
+                ],
+                axis=-1,
+            )
+            stacked = jnp.concatenate(
+                [t.astype(cdt) for t in tables], axis=0
+            )
+            data_s.append(onehots @ stacked)
+            keys_s.append("__fused_categorical__")
+
         for column in schema.valid_columns(self.use_canvas):
             x = inputs[column.name]
             if column.is_categorical:
+                if self.fusion == "add" and column.is_sequence:
+                    continue  # handled by the fused path above
                 table = self.param(
                     f"input_{column.name}",
                     keras_embed_init,
                     (column.input_dim + 2, self.latent_dim),
                 )
-                # One-hot matmul instead of a gather: vocabularies here are
-                # tiny (<= ~66 ids), the channel sum collapses into the same
-                # contraction, and — decisive on TPU — the backward pass is
-                # a plain matmul on the MXU rather than a scatter-add.
                 cdt = self.dtype or table.dtype
                 onehot = jax.nn.one_hot(x, table.shape[0], dtype=cdt)
                 onehot = jnp.sum(onehot, axis=2 if column.is_sequence else 1)
