@@ -345,9 +345,15 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         # Exact resume: parameters, Adam moments, and the step counter all
         # come back (the reference could only warm-start weights).
         state = ckpt_lib.load_checkpoint(last_path, jax.device_get(state))
-        start_epoch = 1 + int(state.step) // max(
-            spec.steps_per_epoch("train"), 1
-        )
+        # Device input mode drops the remainder (floor), host mode pads
+        # (ceil) — use the mode's actual steps-per-epoch for the epoch math.
+        if config.input_mode == "device":
+            actual_steps = max(
+                train_loader.num_records // config.batch_size, 1
+            )
+        else:
+            actual_steps = max(spec.steps_per_epoch("train"), 1)
+        start_epoch = 1 + int(state.step) // actual_steps
         logger.info("resumed from %s at epoch %d", last_path, start_epoch)
 
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)

@@ -110,6 +110,24 @@ def test_warm_start(trained_job, rico_dir, tmp_path):
     assert results2["history"][0]["loss"] < results["history"][0]["loss"]
 
 
+def test_resume_continues_from_last_checkpoint(trained_job, tmp_path):
+    """--resume restores params+optimizer+step and continues epoch count."""
+    config, results = trained_job
+    import shutil
+
+    job2 = str(tmp_path / "resume_job")
+    shutil.copytree(config.job_dir, job2)
+    config2 = TrainConfig(
+        **{**config.to_json(), "job_dir": job2, "num_epochs": 5, "resume": True}
+    )
+    results2 = train(config2)
+    # The original ran 3 epochs; the resumed run must do epochs 4..5 only.
+    epochs = [h["epoch"] for h in results2["history"]]
+    assert epochs == [4, 5]
+    steps = [h["step"] for h in results2["history"]]
+    assert steps[0] > results["history"][-1]["step"] - 1
+
+
 def test_val_metrics_present(trained_job):
     _, results = trained_job
     val_epochs = [h for h in results["history"] if "val_total_score" in h]
