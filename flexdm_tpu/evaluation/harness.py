@@ -147,7 +147,7 @@ def _accumulate(total: Dict[str, float], names, stacked) -> None:
         total[k] += v
 
 
-def _batches(loader) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+def _batches(loader, mesh=None) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
     for host_batch in loader:
         num_valid = host_batch.get(NUM_VALID_KEY, None)
         batch = {
@@ -157,7 +157,13 @@ def _batches(loader) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
         w = np.ones((B,), dtype=np.float32)
         if num_valid is not None:
             w[num_valid:] = 0.0
-        yield batch, jnp.asarray(w)
+        w = jnp.asarray(w)
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            batch = mesh_lib.shard_batch(batch, mesh)
+            w = jax.device_put(w, mesh_lib.batch_sharding(mesh))
+        yield batch, w
 
 
 def evaluate_task(
@@ -169,15 +175,20 @@ def evaluate_task(
     num_iter: int = 1,
     seed: int = 0,
     elem_chunk: int = 256,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Scores for one task over a split: {field: Σnum/Σden}."""
+    """Scores for one task over a split: {field: Σnum/Σden}.
+
+    Pass a ``mesh`` to shard evaluation batches over its data axis (num/den
+    sums are exact regardless of sharding).
+    """
     schema = model.schema
     sort = schema.sort_pos and task_mode == "pos"
     step, names = make_eval_step(model, num_iter, sort)
     key = jax.random.PRNGKey(seed)
     total: Dict[str, float] = defaultdict(float)
 
-    for i, (batch, weight) in enumerate(_batches(loader)):
+    for i, (batch, weight) in enumerate(_batches(loader, mesh)):
         if task_mode == "random":
             masks = _random_masks(schema, batch, jax.random.fold_in(key, i))
             _accumulate(total, names, step(params, batch, masks, weight))
@@ -232,6 +243,7 @@ def evaluate_all(
     batch_size: int = 256,
     num_iter: int = 1,
     split: str = "test",
+    mesh=None,
 ) -> Dict[str, Dict[str, float]]:
     """Run the requested task mode(s); returns {group_name: {field: score}}."""
     schema = spec.schema
@@ -243,19 +255,20 @@ def evaluate_all(
     ans_all: Dict[str, Dict[str, float]] = {}
     if task_mode in ("elem", "random"):
         ans_all["all"] = evaluate_task(
-            model, params, loader(), task_mode, None, num_iter
+            model, params, loader(), task_mode, None, num_iter, mesh=mesh
         )
     elif task_mode == "all_feat":
         for name, keys in groups.items():
             if name == "type":
                 continue
             ans_all[name] = evaluate_task(
-                model, params, loader(), name, (name, keys), num_iter
+                model, params, loader(), name, (name, keys), num_iter,
+                mesh=mesh,
             )
     else:
         group = (task_mode, groups[task_mode])
         ans_all[task_mode] = evaluate_task(
-            model, params, loader(), task_mode, group, num_iter
+            model, params, loader(), task_mode, group, num_iter, mesh=mesh
         )
     return ans_all
 
@@ -282,6 +295,8 @@ def main(argv=None) -> Dict[str, float]:
     parser.add_argument("--checkpoint", default="best", type=str)
     parser.add_argument("--split", default="test", type=str)
     parser.add_argument("--attention_impl", default=None, type=str)
+    parser.add_argument("--num_devices", default=None, type=int,
+                        help="shard evaluation batches over a data mesh")
     args = parser.parse_args(argv)
 
     with open(os.path.join(args.job_dir, "args.json")) as f:
@@ -303,9 +318,17 @@ def main(argv=None) -> Dict[str, float]:
     logger.info("loading %s", ckpt_path)
     params = ckpt_lib.load_checkpoint(ckpt_path, params)
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from ..parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(args.num_devices)
+        params = mesh_lib.replicate(params, mesh)
+
     ans_all = evaluate_all(
         model, params, spec, args.task_mode,
         batch_size=args.batch_size, num_iter=args.num_iter, split=args.split,
+        mesh=mesh,
     )
     final = merge_results(ans_all)
     print(final)

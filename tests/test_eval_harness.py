@@ -107,6 +107,26 @@ def test_evaluate_all_modes(setup):
         assert final
 
 
+def test_sharded_eval_matches_single_device(setup):
+    """Scores must be identical when eval batches shard over an 8-dev mesh."""
+    from flexdm_tpu.parallel import mesh as mesh_lib
+
+    spec, model, params = setup
+    groups = spec.schema.attribute_groups
+    ans1 = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=16),
+        "pos", ("pos", groups["pos"]),
+    )
+    mesh = mesh_lib.make_mesh(8)
+    ans8 = evaluate_task(
+        model, mesh_lib.replicate(params, mesh),
+        spec.make_dataset("test", batch_size=16),
+        "pos", ("pos", groups["pos"]), mesh=mesh,
+    )
+    for k in ans1:
+        np.testing.assert_allclose(ans1[k], ans8[k], rtol=1e-5, err_msg=k)
+
+
 def test_maskgit_eval_runs(setup):
     spec, model, params = setup
     loader = spec.make_dataset("test", batch_size=8)
