@@ -147,12 +147,34 @@ class SVGBuilder:
                     node = self._image(root, element, url)
 
             if node is None and self.render_text and self._is_text(element):
-                text = PLACEHOLDER_TEXT
-                if self.text_db is not None and self._matches(
-                    element, self.text_db.condition
+                raw = element.get("raw")  # crello TextElement with style maps
+                if raw is not None and (
+                    (raw.get("text") if isinstance(raw, dict)
+                     else getattr(raw, "text", None))
                 ):
-                    text = self.text_db.search(element[self.text_db.value]) or text
-                node = self._text(root, element, fill, text)
+                    from .rich_text import rich_text_node
+
+                    node = rich_text_node(
+                        root,
+                        raw,
+                        x=element["left"],
+                        y=element["top"],
+                        width=element["width"],
+                        height=element["height"],
+                        font_family=element.get("font_family", "sans-serif"),
+                        default_fill=fill,
+                        opacity=float(element.get("opacity", 1.0)),
+                    )
+                else:
+                    text = PLACEHOLDER_TEXT
+                    if self.text_db is not None and self._matches(
+                        element, self.text_db.condition
+                    ):
+                        text = (
+                            self.text_db.search(element[self.text_db.value])
+                            or text
+                        )
+                    node = self._text(root, element, fill, text)
 
             if node is None:
                 node = self._rect(root, element, fill)

@@ -57,6 +57,49 @@ def test_svg_builder_text_rendering():
     assert texts[0].get("font-family") == "Font1"
 
 
+def test_rich_text_spans():
+    from flexdm_tpu.helpers.rich_text import char_styles, iter_spans, split_lines
+
+    text = "Hello\nWorld"
+    element = {
+        "text": text,
+        "colorMap": [
+            {"startIndex": 0, "endIndex": 4, "value": "#ff0000"},
+            {"startIndex": 6, "endIndex": 10, "value": "#0000ff"},
+        ],
+        "boldMap": [{"startIndex": 0, "endIndex": 1, "value": True}],
+        "italicMap": [],
+    }
+    styles = char_styles(element, len(text))
+    lines = split_lines(text, None)
+    assert lines == [(0, 5), (6, 11)]
+    spans0 = list(iter_spans(text, styles, *lines[0]))
+    # line 1: "He" bold red, "llo" red
+    assert [s["text"] for s in spans0] == ["He", "llo"]
+    assert spans0[0]["bold"] and not spans0[1]["bold"]
+    assert spans0[0]["color"] == "#ff0000"
+    spans1 = list(iter_spans(text, styles, *lines[1]))
+    assert spans1[0]["text"] == "World" and spans1[0]["color"] == "#0000ff"
+
+
+def test_rich_text_svg_rendering():
+    builder = SVGBuilder(key="type", vocab=["textElement"], render_text=True)
+    doc = sample_doc()
+    doc["elements"][1]["raw"] = {
+        "text": "Hi\nthere",
+        "colorMap": [{"startIndex": 0, "endIndex": 7, "value": "#123456"}],
+        "boldMap": [],
+        "italicMap": [],
+        "capitalize": True,
+    }
+    svg = builder(doc)
+    root = ET.fromstring(svg)
+    tspans = root.findall(".//{http://www.w3.org/2000/svg}tspan")
+    assert len(tspans) >= 2
+    assert tspans[0].get("fill") == "#123456"
+    assert tspans[0].text == "HI"  # capitalized
+
+
 def test_make_colormap_distinct():
     cmap = make_colormap(["a", "b", "c"])
     assert len(set(cmap.values())) == 3
