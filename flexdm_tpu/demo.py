@@ -104,7 +104,18 @@ def run_demo(
     host = next(iter(spec.make_dataset(split, batch_size=num_examples)))
     batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
     masks = build_task_masks(schema, batch, task)
-    pred = forward_eval(model, params, batch, masks, num_iter=num_iter)
+    tasks = None
+    if getattr(model, "context", None) == "id":
+        # Condition the task embedding on the demoed task
+        # (reference eval.py:99-101; notebooks pass demo_args["tasks"]).
+        from .evaluation.harness import task_id_for_mode
+
+        tasks = jnp.full(
+            (batch["length"].shape[0],),
+            task_id_for_mode(schema, task),
+            dtype=jnp.int32,
+        )
+    pred = forward_eval(model, params, batch, masks, tasks=tasks, num_iter=num_iter)
     pred = {k: v for k, v in pred.items()}
 
     builder = SVGBuilder(

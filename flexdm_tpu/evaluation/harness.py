@@ -104,19 +104,42 @@ def _expand_elem(
     return expanded, eye, weight
 
 
-def make_eval_step(model: MFPModel, num_iter: int, sort: bool):
+def task_id_for_mode(schema: Schema, task_mode: str) -> int:
+    """Task-conditioning id for a task mode (reference eval.py:99-101).
+
+    The reference computes ``get_task_names(...).index(group_name)`` — which
+    raises ``NameError`` for the ``random``/``elem`` modes where no group is
+    bound (eval.py:35-37 never assigns ``group_name``).  Here every mode maps
+    cleanly: ``random``/``elem`` are task names themselves.
+    """
+    return schema.task_names.index(task_mode)
+
+
+def make_eval_step(
+    model: MFPModel, num_iter: int, sort: bool, task_id: Optional[int] = None
+):
     """jit-compiled: forward with given masks + num/den metrics.
 
     Returns ``(step, name_order)``; the step returns ONE stacked array so
     the host pays a single fetch per batch (per-array fetches each cost a
     relay round trip on this platform).  ``name_order`` is filled at trace
     time — call the step once before reading it.
+
+    ``task_id``: for ``context='id'`` models, the task-embedding id to
+    condition on (reference eval.py:99-101 → mfp.py:303-311).
     """
     schema = model.schema
     name_order: list = []
 
     def step(params, batch, masks, sample_weight):
-        prediction = forward_eval(model, params, batch, masks, num_iter=num_iter)
+        tasks = None
+        if task_id is not None:
+            tasks = jnp.full(
+                (batch["length"].shape[0],), task_id, dtype=jnp.int32
+            )
+        prediction = forward_eval(
+            model, params, batch, masks, tasks=tasks, num_iter=num_iter
+        )
         sort_flag = (
             jnp.ones((batch["length"].shape[0],), dtype=bool) if sort else None
         )
@@ -139,6 +162,76 @@ def make_eval_step(model: MFPModel, num_iter: int, sort: bool):
         return jnp.stack([metrics[k].astype(jnp.float32) for k in names])
 
     return jax.jit(step), name_order
+
+
+def _make_eval_step_fn(
+    model: MFPModel, num_iter: int, sort: bool, task_id: Optional[int] = None
+):
+    """Un-jitted variant of :func:`make_eval_step` for composition."""
+    step, name_order = make_eval_step(model, num_iter, sort, task_id)
+    return step.__wrapped__, name_order
+
+
+def make_elem_step(
+    model: MFPModel,
+    num_iter: int,
+    sort: bool,
+    task_id: Optional[int],
+    autoreg: bool,
+):
+    """Single-element-filling step that builds each replica chunk ON DEVICE.
+
+    Vectorized form of reference eval.py:66-90 (one forward per
+    (document, element) pair).  Replica ``r`` of a ``(B, …)`` batch is
+    document ``r // S`` with element ``r % S`` masked; the full ``B·S``
+    expansion is never materialized — each jit call gathers only its own
+    ``(elem_chunk, …)`` rows, so device memory is O(chunk) instead of
+    O(B·S·bytes-per-doc) (crello: ~2.6 GB for the two image/text embedding
+    columns at B=256).
+
+    Scores are bit-identical to the full expansion: replicas whose target
+    element is padding carry zero sample weight, contributing 0/0 exactly as
+    the reference's skipped rows do.
+    """
+    schema = model.schema
+    S = schema.max_length
+    step, name_order = _make_eval_step_fn(model, num_iter, sort, task_id)
+
+    def elem_step(params, batch, idx, batch_weight):
+        B = batch["length"].shape[0]
+        total = B * S
+        valid = idx < total
+        r = jnp.minimum(idx, total - 1)
+        b, i = r // S, r % S
+
+        sub = {k: v[b] for k, v in batch.items()}
+        eye = jax.nn.one_hot(i, S, dtype=bool)  # (chunk, S)
+        seq_mask = get_seq_mask(batch["length"], S)  # (B, S)
+        weight = (
+            valid
+            & seq_mask[b, i]  # target element must be real, not padding
+        ).astype(jnp.float32) * batch_weight[b]
+
+        if autoreg:
+            from ..models.sorting import gather_elements, reorganize_indices
+
+            indices = reorganize_indices(
+                i[:, None], sub["length"].reshape(-1, 1), S
+            )
+            for c in schema.modeled:
+                if c.is_sequence:
+                    sub[c.name] = gather_elements(sub[c.name], indices)
+            eye = jnp.take_along_axis(eye, indices, axis=1)
+
+        masks = get_initial_masks(
+            schema, jnp.zeros((idx.shape[0], S), dtype=bool)
+        )
+        for c in schema.modeled:
+            if c.is_sequence:
+                masks[c.name] = eye
+        return step(params, sub, masks, weight)
+
+    return jax.jit(elem_step), name_order
 
 
 def _accumulate(total: Dict[str, float], names, stacked) -> None:
@@ -184,7 +277,16 @@ def evaluate_task(
     """
     schema = model.schema
     sort = schema.sort_pos and task_mode == "pos"
-    step, names = make_eval_step(model, num_iter, sort)
+    task_id = None
+    if getattr(model, "context", None) == "id":
+        task_id = task_id_for_mode(schema, task_mode)
+    if task_mode == "elem":
+        step, names = make_elem_step(
+            model, num_iter, sort, task_id,
+            autoreg=getattr(model, "is_autoreg", False),
+        )
+    else:
+        step, names = make_eval_step(model, num_iter, sort, task_id)
     key = jax.random.PRNGKey(seed)
     total: Dict[str, float] = defaultdict(float)
 
@@ -193,34 +295,10 @@ def evaluate_task(
             masks = _random_masks(schema, batch, jax.random.fold_in(key, i))
             _accumulate(total, names, step(params, batch, masks, weight))
         elif task_mode == "elem":
-            expanded, eye, elem_w = _expand_elem(
-                batch, schema, autoreg=getattr(model, "is_autoreg", False)
-            )
-            elem_w = elem_w * jnp.repeat(weight, schema.max_length)
-            n = expanded["length"].shape[0]
-            seq_mask_init = get_initial_masks(schema, jnp.zeros(
-                (elem_chunk, schema.max_length), dtype=bool))
+            n = batch["length"].shape[0] * schema.max_length
             for start in range(0, n, elem_chunk):
-                end = min(start + elem_chunk, n)
-                idx = slice(start, end)
-                sub = {k: v[idx] for k, v in expanded.items()}
-                sub_eye = eye[idx]
-                sub_w = elem_w[idx]
-                pad = elem_chunk - (end - start)
-                if pad:
-                    sub = {
-                        k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)])
-                        for k, v in sub.items()
-                    }
-                    sub_eye = jnp.concatenate(
-                        [sub_eye, jnp.zeros((pad,) + sub_eye.shape[1:], bool)]
-                    )
-                    sub_w = jnp.concatenate([sub_w, jnp.zeros((pad,), sub_w.dtype)])
-                masks = dict(seq_mask_init)
-                for c in schema.modeled:
-                    if c.is_sequence:
-                        masks[c.name] = sub_eye
-                _accumulate(total, names, step(params, sub, masks, sub_w))
+                idx = jnp.arange(start, start + elem_chunk, dtype=jnp.int32)
+                _accumulate(total, names, step(params, batch, idx, weight))
         else:
             assert group is not None, task_mode
             masks = _group_masks(schema, batch, group[1])

@@ -138,6 +138,7 @@ def forward_train(
     key: jax.Array,
     task_config: TaskConfig,
     train: bool = True,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training forward pass: sample tasks, mask, predict, score.
 
@@ -145,6 +146,8 @@ def forward_train(
     made explicit so it jit-compiles.  ``train=False`` keeps the random task
     masking (that is how the reference validates, via keras ``model.fit``
     validation calling the same path) but disables dropout/noise.
+    ``sample_weight`` (B,) zeroes batch-padding rows so validation num/den
+    sums stay exact under static batch shapes.
     """
     schema = model.schema
     k_task, k_shuffle, k_mask, k_drop, k_noise, k_vae = jax.random.split(key, 6)
@@ -176,7 +179,8 @@ def forward_train(
     if task_config.sort_pos:
         sort_flag = tasks == task_config.pos_task_id
     loss, metrics = compute_mfp_loss(
-        schema, targets, outputs, masks, sort_flag=sort_flag
+        schema, targets, outputs, masks, sort_flag=sort_flag,
+        sample_weight=sample_weight,
     )
     for name, value in aux.items():
         metrics[name] = value

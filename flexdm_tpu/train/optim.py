@@ -54,24 +54,31 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
-def _is_regularized(path) -> bool:
-    """Everything except LayerNorm scale/bias gets the L2 penalty.
-
-    Matches the reference, which attaches regularizers to Dense and Embedding
-    layers but not LayerNormalization (architecture/utils.py:8-22).
-    """
-    for entry in path:
-        name = getattr(entry, "key", None)
-        if isinstance(name, str) and name.startswith("norm"):
-            return False
-    return True
+def _path_key(entry) -> Optional[str]:
+    return getattr(entry, "key", None)
 
 
 def l2_penalty(params) -> jnp.ndarray:
-    """``sum(w^2)`` over regularized parameters."""
+    """``sum(w^2)`` over regularized parameters.
+
+    Matches the reference, which attaches regularizers to Dense kernels/biases
+    and Embedding tables but not LayerNormalization
+    (architecture/utils.py:8-22).  LayerNorm parameters are identified
+    *structurally* — flax LayerNorm is the only module whose parameter set is
+    ``{scale, bias}`` (Dense has ``kernel``) — rather than by module name, so
+    e.g. the concat-fusion ``fusion_norm`` (encoder.py) is exempt like any
+    other norm regardless of what it is called.
+    """
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    norm_parents = {
+        tuple(_path_key(e) for e in path[:-1])
+        for path, _ in leaves
+        if _path_key(path[-1]) == "scale"
+    }
     total = jnp.asarray(0.0, dtype=jnp.float32)
     for path, leaf in leaves:
-        if _is_regularized(path):
-            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        keys = tuple(_path_key(e) for e in path)
+        if keys[:-1] in norm_parents and keys[-1] in ("scale", "bias"):
+            continue
+        total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
     return total

@@ -82,7 +82,10 @@ class TrainConfig:
     enable_profile: bool = False
     use_elemwise_noise: bool = False
     resume: bool = False  # restore params+optimizer+epoch from last checkpoint
-    checkpoint_every: int = 0  # also refresh 'last' every N epochs (0 = end only)
+    # Refresh the 'last' (resume) checkpoint every N epochs.  None defaults
+    # to validation_freq so a crash mid-run always leaves --resume something
+    # recent to restore; 0 = end-of-run only (the old behavior).
+    checkpoint_every: Optional[int] = None
     # Input pipeline: 'device' keeps the whole (per-host) train split
     # resident in HBM and gathers batches on-device — at document scale this
     # removes the host from the hot loop entirely.  'host' streams decoded
@@ -205,19 +208,32 @@ def make_scan_steps(
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
     def scan_steps(state: TrainState, data, indices, base_key):
-        def body(state, idx):
+        def body(carry, idx):
+            state, finite = carry
             batch = jax.lax.with_sharding_constraint(
                 gather_batch(data, idx), batch_sharding
             )
             state, metrics = base_step(state, batch, base_key)
-            return state, None
+            # NaN tripwire INSIDE the bundle: with one compiled call per
+            # epoch only the final step's metrics surface, so a mid-epoch
+            # blow-up would otherwise be seen an epoch late (reference
+            # TerminateOnNaN sees every step, callbacks.py:57).
+            finite = jnp.logical_and(finite, jnp.isfinite(metrics["loss"]))
+            return (state, finite), None
 
-        state, _ = jax.lax.scan(body, state, indices[:-1])
+        (state, finite), _ = jax.lax.scan(
+            body, (state, jnp.asarray(True)), indices[:-1]
+        )
         # Final step outside the scan so its metrics are returned.
         batch = jax.lax.with_sharding_constraint(
             gather_batch(data, indices[-1]), batch_sharding
         )
-        return base_step(state, batch, base_key)
+        state, metrics = base_step(state, batch, base_key)
+        metrics = dict(
+            metrics,
+            finite=jnp.logical_and(finite, jnp.isfinite(metrics["loss"])),
+        )
+        return state, metrics
 
     return scan_steps
 
@@ -233,9 +249,10 @@ def make_val_step(model: MFPModel, task_config):
     """
     name_order: list = []
 
-    def val_step(params, batch, key):
+    def val_step(params, batch, key, sample_weight):
         _, metrics = forward_train(
-            model, params, batch, key, task_config, train=False
+            model, params, batch, key, task_config, train=False,
+            sample_weight=sample_weight,
         )
         names = tuple(sorted(metrics))
         if not name_order:
@@ -261,30 +278,37 @@ def evaluate_split(
     The reference's validation is keras ``model.evaluate`` on the same masked
     objective (train.py:79-92).  Scores here use exact dataset-level
     numerator/denominator sums rather than keras' mean-over-batches of
-    per-batch ratios.
+    per-batch ratios; padded batch tails are zeroed via ``sample_weight`` so
+    every score and loss is invariant to the batch size.
     """
     sums: Dict[str, float] = {}
     weights_total = 0
     losses: Dict[str, float] = {}
-    n_batches = 0
     for i, host_batch in enumerate(loader):
-        num_valid = host_batch.get(NUM_VALID_KEY, host_batch["length"].shape[0])
+        B = host_batch["length"].shape[0]
+        num_valid = host_batch.get(NUM_VALID_KEY, B)
         batch = split_device_batch(host_batch)
+        sample_weight = np.zeros((B,), dtype=np.float32)
+        sample_weight[:num_valid] = 1.0
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
-        stacked = val_step(params, batch, jax.random.fold_in(key, i))
+            sample_weight = jax.device_put(
+                sample_weight, mesh_lib.batch_sharding(mesh)
+            )
+        stacked = val_step(
+            params, batch, jax.random.fold_in(key, i), sample_weight
+        )
         values = np.asarray(stacked)  # single host fetch
         metrics = dict(zip(name_order, values.tolist()))
-        # NOTE: padded tail samples repeat real samples; their contribution
-        # to num/den is a duplicate of a real sample, acceptable for val
-        # monitoring. Exact task evaluation lives in evaluation/harness.py.
         for k, v in metrics.items():
             if k.endswith("_score_num") or k.endswith("_score_den"):
                 sums[k] = sums.get(k, 0.0) + v
             elif k.endswith("_loss") or k == "loss":
-                losses[k] = losses.get(k, 0.0) + v * num_valid
+                # compute_mfp_loss means over the static batch (Σ/B with
+                # padded rows zeroed); recover the sum, renormalize by the
+                # real sample count at the end.
+                losses[k] = losses.get(k, 0.0) + v * B
         weights_total += num_valid
-        n_batches += 1
 
     out: Dict[str, float] = {}
     score_total = 0.0
@@ -414,8 +438,12 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         def run_epoch(state, epoch):
             del epoch
             metrics = None
+            finite = jnp.asarray(True)
             for _ in range(steps_per_epoch):
                 state, metrics = train_step(state, next(host_iter), base_key)
+                # Device-side AND (async enqueue, no fetch until epoch end).
+                finite = jnp.logical_and(finite, jnp.isfinite(metrics["loss"]))
+            metrics = dict(metrics, finite=finite)
             return state, metrics, steps_per_epoch
 
     stop = False
@@ -423,14 +451,26 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     if config.enable_profile:
         jax.profiler.start_trace(os.path.join(config.job_dir, "logs", "trace"))
 
+    ckpt_every = (
+        config.validation_freq
+        if config.checkpoint_every is None
+        else config.checkpoint_every
+    )
+
     t_start = time.time()
     step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, config.num_epochs + 1):
         state, epoch_metrics, n_steps = run_epoch(state, epoch)
         step += n_steps
         loss = float(epoch_metrics["loss"])
-        if not math.isfinite(loss):
-            logger.error("non-finite loss at epoch %d; terminating", epoch)
+        if not (math.isfinite(loss) and bool(epoch_metrics.get("finite", True))):
+            # The state is poisoned; stop WITHOUT saving it, so the last
+            # periodic 'last' checkpoint stays restorable via --resume
+            # (reference TerminateOnNaN, helpers/callbacks.py:57).
+            logger.error(
+                "non-finite loss during epoch %d; terminating "
+                "(pre-NaN 'last' checkpoint left intact)", epoch,
+            )
             stop = True
 
         record = {
@@ -441,7 +481,9 @@ def train(config: TrainConfig) -> Dict[str, Any]:
             "wall_time": time.time() - t_start,
         }
 
-        if epoch % config.validation_freq == 0 or epoch == config.num_epochs or stop:
+        if not stop and (
+            epoch % config.validation_freq == 0 or epoch == config.num_epochs
+        ):
             val_metrics = evaluate_split(
                 val_step, state.params, val_loader, schema, val_key, mesh,
                 name_order=val_names,
@@ -461,7 +503,7 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         tb_writer.scalars(step, {k: v for k, v in record.items()
                                  if k not in ("epoch", "step")})
         logger.info("epoch %d: %s", epoch, record)
-        if config.checkpoint_every and epoch % config.checkpoint_every == 0:
+        if not stop and ckpt_every and epoch % ckpt_every == 0:
             ckpt_lib.save_checkpoint(last_path, jax.device_get(state))
         if stop:
             break
@@ -469,27 +511,30 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     if config.enable_profile:
         jax.profiler.stop_trace()
 
-    test_metrics = evaluate_split(
-        val_step, state.params, test_loader, schema,
-        jax.random.fold_in(base_key, 2**30 + 1), mesh,
-        name_order=val_names,
-    )
-    logger.info("test: %s", test_metrics)
+    test_metrics: Dict[str, float] = {}
+    if not stop:
+        test_metrics = evaluate_split(
+            val_step, state.params, test_loader, schema,
+            jax.random.fold_in(base_key, 2**30 + 1), mesh,
+            name_order=val_names,
+        )
+        logger.info("test: %s", test_metrics)
 
-    ckpt_lib.save_checkpoint(
-        os.path.join(ckpt_dir, "final"), jax.device_get(state.params)
-    )
-    # Resume checkpoint with optimizer state.
-    ckpt_lib.save_checkpoint(
-        os.path.join(ckpt_dir, "last"), jax.device_get(state)
-    )
-    tb_writer.scalars(step, {f"test_{k}": v for k, v in test_metrics.items()})
+        ckpt_lib.save_checkpoint(
+            os.path.join(ckpt_dir, "final"), jax.device_get(state.params)
+        )
+        # Resume checkpoint with optimizer state.
+        ckpt_lib.save_checkpoint(
+            os.path.join(ckpt_dir, "last"), jax.device_get(state)
+        )
+        tb_writer.scalars(step, {f"test_{k}": v for k, v in test_metrics.items()})
     tb_writer.close()
 
     return {
         "history": history,
         "test_metrics": test_metrics,
         "best_val_total_score": best_score,
+        "stopped_on_nan": stop,
         "checkpoints": {
             "best": os.path.join(ckpt_dir, "best"),
             "final": os.path.join(ckpt_dir, "final"),

@@ -156,3 +156,52 @@ def test_eval_cli(tmp_path, rico_dir):
     ])
     assert "left" in final
     assert (tmp_path / "out.csv").exists()
+
+
+def test_context_id_eval_threads_task_id(setup):
+    """A context='id' model must be evaluated with the task-mode's embedding
+    id (reference eval.py:99-101), not the default id 0 ('random')."""
+    from collections import defaultdict
+
+    from flexdm_tpu.evaluation.harness import _group_masks, task_id_for_mode
+
+    spec, _, _ = setup
+    schema = spec.schema
+    model = MFPModel(
+        schema, latent_dim=32, num_blocks=1, num_heads=4,
+        attention_impl="xla", context="id",
+    )
+    sample = split_device_batch(next(iter(spec.make_dataset("test", batch_size=4))))
+    params = init_params(model, sample, seed=0)
+    groups = schema.attribute_groups
+    ans = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=8),
+        "pos", ("pos", groups["pos"]),
+    )
+
+    def manual(task_id):
+        step, names = make_eval_step(model, 1, False, task_id=task_id)
+        total = defaultdict(float)
+        for host in spec.make_dataset("test", batch_size=8):
+            batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+            masks = _group_masks(schema, batch, groups["pos"])
+            w = jnp.ones((batch["length"].shape[0],))
+            for k, v in zip(names, np.asarray(step(params, batch, masks, w)).tolist()):
+                total[k] += v
+        return {
+            c.name: total[f"{c.name}_score_num"] / total[f"{c.name}_score_den"]
+            for c in schema.columns
+            if total.get(f"{c.name}_score_den")
+        }
+
+    pos_id = task_id_for_mode(schema, "pos")
+    assert pos_id == schema.task_names.index("pos")
+    with_pos = manual(pos_id)
+    with_zero = manual(0)
+    # harness must have used the pos id...
+    for k in ans:
+        np.testing.assert_allclose(ans[k], with_pos[k], rtol=1e-5, err_msg=k)
+    # ...and the id must actually matter (different task embedding -> scores).
+    assert any(
+        abs(with_pos[k] - with_zero[k]) > 1e-6 for k in with_pos
+    ), "task id had no effect on a context='id' model"

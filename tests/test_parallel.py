@@ -113,6 +113,7 @@ def test_val_step_on_mesh(setup):
     val_step = jax.jit(val_fn)
     b = mesh_lib.shard_batch(batch, mesh)
     p = mesh_lib.replicate(state.params, mesh)
-    stacked = val_step(p, b, jax.random.PRNGKey(0))
+    w = jnp.ones((batch["length"].shape[0],), dtype=jnp.float32)
+    stacked = val_step(p, b, jax.random.PRNGKey(0), w)
     metrics = dict(zip(names, np.asarray(stacked).tolist()))
     assert np.isfinite(metrics["total_score"])

@@ -135,3 +135,149 @@ def test_val_metrics_present(trained_job):
     assert "val_type_score" in val_epochs[0]
     assert 0.0 <= val_epochs[0]["val_total_score"] <= 1.0
     assert "clickable" in " ".join(results["test_metrics"].keys())
+
+
+def test_l2_penalty_exempts_fusion_norm(crello_spec):
+    """The concat-fusion LayerNorm must be L2-exempt like every other norm
+    (reference encoder.py:112-124 uses an unregularized LayerNormalization)."""
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.models.encoder import Encoder
+
+    batch = split_device_batch(
+        next(iter(crello_spec.make_dataset("test", batch_size=4)))
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    enc = Encoder(crello_spec.schema, latent_dim=32, fusion="concat")
+    params = enc.init({"params": jax.random.PRNGKey(0)}, batch, True)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert any("fusion_norm" in str(p) for p, _ in leaves)
+    expected = sum(
+        float(jnp.sum(jnp.square(leaf)))
+        for path, leaf in leaves
+        if "fusion_norm" not in str(path)
+    )
+    np.testing.assert_allclose(float(l2_penalty(params)), expected, rtol=1e-6)
+
+
+def test_val_scores_invariant_to_batch_size(rico_spec):
+    """Padded batch tails must not re-count samples: the val total_score is
+    identical whether the 32-sample split is batched 16|16 or 12|12|8+4pad."""
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.models import MFPModel, make_task_config
+    from flexdm_tpu.train import evaluate_split, init_params, make_val_step
+
+    model = MFPModel(
+        rico_spec.schema, latent_dim=32, num_blocks=1, num_heads=4,
+        attention_impl="xla",
+    )
+    sample = split_device_batch(
+        next(iter(rico_spec.make_dataset("val", batch_size=4)))
+    )
+    params = init_params(model, sample, seed=0)
+    tc = make_task_config(rico_spec.schema, "random")
+    val_fn, names = make_val_step(model, tc)
+    val_step = jax.jit(val_fn)
+
+    def run(batch_size):
+        loader = rico_spec.make_dataset("val", batch_size=batch_size)
+        return evaluate_split(
+            val_step, params, loader, rico_spec.schema,
+            jax.random.PRNGKey(7), name_order=names,
+        )
+
+    # 32 samples: batch 32 (exact) vs batch 48 (one batch, 16 padded rows).
+    # Both see all samples in ONE batch with the same RNG fold -> the only
+    # difference is the padded tail, which sample_weight must zero out.
+    out_exact = run(32)
+    out_padded = run(48)
+    for k in out_exact:
+        np.testing.assert_allclose(
+            out_exact[k], out_padded[k], rtol=1e-5, err_msg=k
+        )
+
+
+def test_scan_finite_flag_catches_mid_epoch_nan():
+    """A NaN at any step INSIDE the epoch scan must surface in the epoch
+    metrics (not an epoch late): reference TerminateOnNaN semantics."""
+    from flexdm_tpu.parallel import mesh as mesh_lib
+    from flexdm_tpu.train.trainer import TrainState, make_scan_steps
+
+    mesh = mesh_lib.make_mesh(1)
+
+    def base_step(state, batch, key):
+        loss = jnp.where(jnp.any(batch["x"] == 3), jnp.nan, 1.0)
+        return (
+            TrainState(
+                params=state.params, opt_state=state.opt_state,
+                step=state.step + 1,
+            ),
+            {"loss": loss},
+        )
+
+    scan = make_scan_steps(base_step, mesh)
+    state = TrainState(params={}, opt_state=(), step=jnp.asarray(0))
+    data = {"x": jnp.arange(12)}
+    key = jax.random.PRNGKey(0)
+    # 6 steps of batch 2; the NaN hits step 1 (values [2, 3]), not the final.
+    idx = jnp.arange(12).reshape(6, 2)
+    _, metrics = scan(state, data, idx, key)
+    assert not bool(metrics["finite"])
+    assert np.isfinite(float(metrics["loss"]))  # final step itself was fine
+    # All-finite control: drop the poisoned batch.
+    idx_ok = jnp.asarray([[0, 1], [4, 5], [6, 7], [8, 9], [10, 11]])
+    _, metrics_ok = scan(state, data, idx_ok, key)
+    assert bool(metrics_ok["finite"])
+
+
+def test_nan_stop_preserves_resumable_state(trained_job, rico_dir, tmp_path):
+    """Warm-starting from NaN weights must stop at epoch 1 WITHOUT writing a
+    poisoned 'last' checkpoint (so --resume never restores NaN state)."""
+    from flexdm_tpu.data import DatasetSpec, split_device_batch
+    from flexdm_tpu.train.trainer import build_model, init_params
+
+    config, _ = trained_job
+    spec = DatasetSpec("rico", rico_dir, 16)
+    model = build_model(config, spec.schema)
+    sample = split_device_batch(next(iter(spec.make_dataset("val", batch_size=4))))
+    params = init_params(model, sample, seed=0)
+    nan_params = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), params)
+    nan_ck = str(tmp_path / "nan_ck")
+    save_checkpoint(nan_ck, nan_params)
+
+    job2 = str(tmp_path / "nan_job")
+    config2 = TrainConfig(**{
+        **config.to_json(), "job_dir": job2, "weights": nan_ck,
+        "num_epochs": 2,
+    })
+    results = train(config2)
+    assert results["stopped_on_nan"]
+    assert len(results["history"]) == 1
+    assert not os.path.isdir(os.path.join(job2, "checkpoints", "last"))
+    assert not os.path.isdir(os.path.join(job2, "checkpoints", "final"))
+
+
+def test_periodic_last_checkpoint_defaults_to_validation_freq(
+    trained_job, monkeypatch, tmp_path
+):
+    """checkpoint_every=None must refresh 'last' every validation_freq epochs
+    so a crash mid-run always leaves --resume something to restore."""
+    from flexdm_tpu.train import checkpoint as ckpt_lib
+    from flexdm_tpu.train import trainer as trainer_mod
+
+    saved = []
+    real = ckpt_lib.save_checkpoint
+
+    def spy(path, tree):
+        saved.append(os.path.basename(path))
+        return real(path, tree)
+
+    monkeypatch.setattr(trainer_mod.ckpt_lib, "save_checkpoint", spy)
+    config, _ = trained_job
+    config2 = TrainConfig(**{
+        **config.to_json(), "job_dir": str(tmp_path / "periodic_job"),
+        "num_epochs": 2, "validation_freq": 1,
+    })
+    assert config2.checkpoint_every is None
+    train(config2)
+    # periodic 'last' at epochs 1 and 2, plus the end-of-run 'last'.
+    assert saved.count("last") >= 3
