@@ -11,6 +11,11 @@ use.
 
 import os
 
+# Golden tests instantiate the reference's keras-2-era model/data code; with
+# TF >= 2.16 `tf.keras` is Keras 3 unless the legacy shim is selected BEFORE
+# tensorflow's lazy keras loader first resolves (tf_keras is installed).
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

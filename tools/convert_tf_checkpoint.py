@@ -48,10 +48,10 @@ _RULES = [
      lambda m: ("blocks", f"seq2seq_{m['i']}", "attn", m["proj"], m["leaf"])),
     (r".*seq2seq_(?P<i>\d+)/attn/combine_heads/(?P<leaf>kernel|bias)",
      lambda m: ("blocks", f"seq2seq_{m['i']}", "attn", "out", m["leaf"])),
-    (r".*seq2seq_(?P<i>\d+)/mlp/layers/0/(?P<leaf>kernel|bias)",
-     lambda m: ("blocks", f"seq2seq_{m['i']}", "mlp_0", m["leaf"])),
-    (r".*seq2seq_(?P<i>\d+)/mlp/layers/1/(?P<leaf>kernel|bias)",
-     lambda m: ("blocks", f"seq2seq_{m['i']}", "mlp_1", m["leaf"])),
+    # keras tracks Sequential children as ``layer_with_weights-N`` in saved
+    # checkpoints (and ``layers/N`` when addressed through the layers list).
+    (r".*seq2seq_(?P<i>\d+)/mlp/(layers/|layer_with_weights-)(?P<n>[01])/?(?P<leaf>kernel|bias)",
+     lambda m: ("blocks", f"seq2seq_{m['i']}", f"mlp_{m['n']}", m["leaf"])),
     (r".*seq2seq_(?P<i>\d+)/norm(?P<n>\d)/gamma",
      lambda m: ("blocks", f"seq2seq_{m['i']}", f"norm{m['n']}", "scale")),
     (r".*seq2seq_(?P<i>\d+)/norm(?P<n>\d)/beta",
