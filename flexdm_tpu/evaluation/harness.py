@@ -401,7 +401,7 @@ def main(argv=None) -> Dict[str, float]:
         from ..parallel import mesh as mesh_lib
 
         mesh = mesh_lib.make_mesh(args.num_devices)
-        params = mesh_lib.replicate(params, mesh)
+        params = mesh_lib.shard_params(params, mesh)
 
     ans_all = evaluate_all(
         model, params, spec, args.task_mode,

@@ -3,15 +3,23 @@
 The reference is single-device (its ``MirroredStrategy`` is commented out,
 reference ``src/mfp/mfp/train.py:25``).  Here data parallelism is first-class
 and nearly free: one ``jax.sharding.Mesh`` with a ``data`` axis, batches
-sharded over it, parameters replicated, and XLA SPMD inserts the gradient
-all-reduce over ICI.  A ``model`` axis is exposed for tensor parallelism —
-unnecessary at D=256 but the sharding rules accept it so scaled configs can
-turn it on without code changes.
+sharded over it, and XLA SPMD inserts the gradient all-reduce over ICI.
+
+Tensor parallelism is the ``model`` axis: :func:`shard_params` lays model
+parameters out Megatron-style — attention QKV and the first MLP matmul are
+column-parallel (output features split over ``model``), the attention output
+projection and second MLP matmul are row-parallel (contraction dim split, so
+each pair needs exactly one reduce per block), decoder heads and embedding
+tables split their feature axis.  GSPMD propagates the activation shardings
+and inserts the collectives.  Unnecessary at D=256, but the layout means
+scaled configs turn it on without code changes — and the optimizer state
+(Adam moments mirror the parameter tree) shards by the same rules, so
+optimizer memory scales down with the axis too.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -19,6 +27,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# Dense layers whose OUTPUT features shard over `model` (column-parallel)
+# and whose INPUT (contraction) dim shards (row-parallel).  Pairing them
+# this way (Megatron MLP/attention) keeps activations sharded through the
+# block interior with a single psum at each block boundary.
+_COLUMN_PARALLEL = ("query", "key", "value", "mlp_0", "conditional")
+_ROW_PARALLEL = ("out", "mlp_1")
 
 
 def make_mesh(
@@ -61,3 +76,68 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params, optimizer state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def _string_keys(path) -> Tuple[str, ...]:
+    out = []
+    for entry in path:
+        key = getattr(entry, "key", None) or getattr(entry, "name", None)
+        if isinstance(key, str):
+            out.append(key)
+    return tuple(out)
+
+
+def partition_spec(path, shape, model_size: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter leaf.
+
+    ``path`` is a tree_util key path (works for both ``params`` and the Adam
+    ``mu``/``nu`` mirrors, whose paths carry the same parameter names).
+    Dims that don't divide ``model_size`` stay replicated — correctness
+    never depends on a shardable shape.
+    """
+    if model_size <= 1 or not shape:
+        return P()
+    keys = _string_keys(path)
+    if not keys:
+        return P()
+    leaf = keys[-1]
+    parent = keys[-2] if len(keys) >= 2 else ""
+
+    def last_dim(spec_prefix_len: int) -> P:
+        if shape[-1] % model_size:
+            return P()
+        return P(*([None] * spec_prefix_len + [MODEL_AXIS]))
+
+    if parent in _ROW_PARALLEL and leaf == "kernel":
+        if len(shape) == 2 and shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)
+        return P()
+    if (parent in _COLUMN_PARALLEL or parent.startswith("decoder_")):
+        if leaf == "kernel" and len(shape) == 2:
+            return last_dim(1)
+        if leaf == "bias" and len(shape) == 1:
+            return last_dim(0)
+        return P()
+    # Encoder inputs: embedding tables are leaves named `input_*` (V, D);
+    # numerical-input Dense kernels sit under a module named `input_*`.
+    if leaf.startswith("input_") and len(shape) == 2:
+        return last_dim(1)
+    if parent.startswith("input_") and leaf == "kernel" and len(shape) == 2:
+        return last_dim(1)
+    return P()
+
+
+def shard_params(tree, mesh: Mesh):
+    """Place parameters (or any param-shaped tree, e.g. a TrainState) on the
+    mesh with tensor-parallel layouts; everything unmatched is replicated."""
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
+    def place(path, x):
+        spec = partition_spec(path, getattr(x, "shape", ()), model_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+# A TrainState shards by the same leaf rules (Adam mu/nu mirror params).
+shard_state = shard_params

@@ -381,7 +381,7 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         logger.info("resumed from %s at epoch %d", last_path, start_epoch)
 
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)
-    state = mesh_lib.replicate(state, mesh)
+    state = mesh_lib.shard_state(state, mesh)
 
     base_step = make_train_step(model, task_config, tx, config.l2)
     if config.input_mode == "device":
