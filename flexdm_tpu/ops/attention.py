@@ -1,25 +1,31 @@
-"""Fused multi-head attention for TPU.
+"""Fused multi-head attention for TPU: flash forward AND backward.
 
 The reference computes attention with separate matmul/softmax ops in TF eager
 (reference ``src/mfp/mfp/models/architecture/transformer.py:60-76``): scores
 ``q @ k^T / sqrt(d)``, additive ``-1e9`` padding mask, optional causal band,
-softmax, then ``p @ v``.  Here the same math is one Pallas kernel per
-``(batch, head)`` grid cell — scores, masking, softmax and the value matmul
-never leave VMEM, so the ``(B, H, S, S)`` probability tensor is never
-materialized in HBM.
+softmax, then ``p @ v``.  Here both passes are blockwise Pallas kernels with
+online softmax, so the ``(B, H, S, S)`` probability tensor never exists in
+HBM on either pass — HBM traffic is O(S·Dh):
 
-Document sequences are tiny (S <= 50, padded to a lane-friendly 64), so one
-grid cell handles a full ``(S, S)`` score tile; the kernel is still written
-blockwise-safe (everything derives from the ref shapes) so raising the
-element cap only changes the padding.
+* forward: grid ``(B, H, S/Bq)``; each cell streams K/V in ``Bk`` blocks
+  through an online-softmax accumulator and emits the output block plus the
+  row logsumexp (the flash residual).
+* backward: ``delta = rowsum(dO·O)`` is one cheap fused XLA reduction; a
+  ``dq`` kernel (grid over query blocks) and a ``dk``/``dv`` kernel (grid
+  over key blocks) each rebuild probabilities blockwise from the saved
+  logsumexp — recompute instead of an O(S²) residual.
 
-The backward pass uses a custom VJP that recomputes probabilities with XLA
-ops — at these sizes recompute is cheaper than stashing ``(B, H, S, S)``
-residuals in HBM, and XLA fuses the whole backward into a few kernels.
+K/V (and Q/dO in the key-grid kernel) for one ``(batch, head)`` stay VMEM
+resident: at Dh ≤ 128 that bounds S at several thousand — far beyond
+document scale — while keeping every matmul an MXU-shaped ``(128, Dh)``
+tile.  Document sequences are tiny (S <= 50, padded to a lane-friendly
+size), so one grid cell handles the whole sequence; at S > 128 the same
+kernels tile with 128-row blocks.
 
 ``impl='xla'`` is the portable reference path (used on CPU and in parity
 tests); ``impl='pallas'`` is the TPU fast path; ``impl='auto'`` picks by
-backend.
+backend and S (measured crossover: XLA fusion wins at document scale,
+Pallas from S > 128 up).
 """
 
 from __future__ import annotations
@@ -58,59 +64,195 @@ def _attention_xla(q, k, v, bias, causal):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal):
-    """One batch row per grid cell: all H heads stay resident in VMEM.
+def _causal_neg(qi, j, bq, bk):
+    """(bq, bk) additive mask for causal attention between blocks."""
+    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    return jnp.where(col <= row, 0.0, NEG_INF)
 
-    Head count is static, so the head loop unrolls; each head is a pair of
-    (S, Dh) matmuls with the mask/softmax fused between them.  Folding heads
-    into the grid instead (grid B*H) measured ~8% slower end-to-end — cell
-    dispatch overhead dominates at these tiny tile sizes.
-    """
-    h = q_ref.shape[1]
-    bias = bias_ref[0]  # (1, S), broadcasts over query rows
-    for head in range(h):
-        q = q_ref[0, head].astype(jnp.float32)  # (S, Dh)
-        k = k_ref[0, head].astype(jnp.float32)
-        v = v_ref[0, head].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q,
-            k,
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, causal, block_k
+):
+    """One (batch, head, q-block) per grid cell; online softmax over K."""
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    s = k_ref.shape[2]
+    nk = s // block_k
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (Bq, Dh)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        scores = scores * scale + bias
+        sc = sc + bias_ref[0, :, pl.ds(j * block_k, block_k)]
         if causal:
-            s = scores.shape[0]
-            row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-            scores = jnp.where(col <= row, scores, NEG_INF)
-        # Numerically stable softmax on the VPU.
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[0, head] = o.astype(o_ref.dtype)
+            sc = sc + _causal_neg(qi, j, bq, block_k)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
+    a0 = jnp.zeros((bq, q_ref.shape[3]), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
-def _pallas_forward(q, k, v, bias, causal, interpret):
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, causal, block_k,
+):
+    """dq for one (batch, head, q-block): stream K/V, rebuild p from lse."""
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    s = k_ref.shape[2]
+    nk = s // block_k
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (Bq, 1)
+    delta = delta_ref[0, 0]  # (Bq, 1)
+
+    def body(j, acc):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sc = sc + bias_ref[0, :, pl.ds(j * block_k, block_k)]
+        if causal:
+            sc = sc + _causal_neg(qi, j, bq, block_k)
+        p = jnp.exp(sc - lse)
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, nk, body, jnp.zeros((bq, q_ref.shape[3]), dtype=jnp.float32)
+    )
+    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, *, scale, causal, block_q,
+):
+    """dk/dv for one (batch, head, k-block): stream Q/dO blocks."""
+    ki = pl.program_id(2)
+    bk = k_ref.shape[2]
+    s = q_ref.shape[2]
+    nq = s // block_q
+    k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dh)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bias = bias_ref[0, :, pl.ds(ki * bk, bk)]  # (1, Bk)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]  # (Bq, 1)
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        sc = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sc = sc + bias
+        if causal:
+            sc = sc + _causal_neg(i, ki, block_q, bk)
+        p = jnp.exp(sc - lse)  # (Bq, Bk)
+        dv = dv + jax.lax.dot_general(
+            p, do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dh = k_ref.shape[3]
+    z = jnp.zeros((bk, dh), dtype=jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (z, z))
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _block_size(s_pad: int) -> int:
+    """Largest supported block dividing the (padded) sequence length.
+
+    Measured on v5e (B=4, H=8, Dh=64, fwd+bwd, fetch-verified): 512-row
+    blocks are ~2x faster than 128-row blocks (4.0 vs 8.5 ms/iter at
+    S=2048) — bigger tiles amortize grid-cell dispatch and fill the MXU;
+    1024-row blocks exceed the 16 MB VMEM scoped limit.
+    """
+    for b in (512, 256, 128):
+        if s_pad % b == 0:
+            return b
+    return s_pad  # s_pad <= 128: one block (multiple of 8)
+
+
+def _full_spec(b_block, s, dh):
+    """(1, 1, S, Dh) block resident across the innermost grid dim."""
+    del b_block
+    return pl.BlockSpec((1, 1, s, dh), lambda b, h, i: (b, h, 0, 0))
+
+
+def _row_spec(block, dh):
+    return pl.BlockSpec((1, 1, block, dh), lambda b, h, i: (b, h, i, 0))
+
+
+def _flash_forward(q, k, v, bias, causal, interpret):
     b, h, s, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
-    # Bias as (B, 1, S): TPU tiling requires the block's last two dims be
-    # (8k, 128k) or equal to the array dims; (1, S) blocks of a (B, 1, S)
-    # array satisfy the latter.
-    bias3 = bias[:, None, :]
-    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
-    out = pl.pallas_call(
+    block = _block_size(s)
+    bias3 = bias.astype(jnp.float32)[:, None, :]
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, causal=causal, block_k=block
+    )
+    bias_spec = pl.BlockSpec((1, 1, s), lambda bb, hh, i: (bb, 0, 0))
+    o, lse = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h, s // block),
         in_specs=[
-            pl.BlockSpec((1, h, s, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, s, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, s, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0)),
+            _row_spec(block, dh),
+            _full_spec(block, s, dh),
+            _full_spec(block, s, dh),
+            bias_spec,
         ],
-        out_specs=pl.BlockSpec((1, h, s, dh), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+        out_specs=[
+            _row_spec(block, dh),
+            pl.BlockSpec((1, 1, block, 1), lambda bb, hh, i: (bb, hh, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh,
@@ -118,55 +260,97 @@ def _pallas_forward(q, k, v, bias, causal, interpret):
             transcendentals=b * h * s * s,
         ),
     )(q, k, v, bias3)
-    return out
+    return o, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _attention_pallas(q, k, v, bias, causal, interpret):
-    return _pallas_forward(q, k, v, bias, causal, interpret)
+    return _flash_forward(q, k, v, bias, causal, interpret)[0]
 
 
 def _attention_pallas_fwd(q, k, v, bias, causal, interpret):
-    o = _pallas_forward(q, k, v, bias, causal, interpret)
-    return o, (q, k, v, bias)
+    o, lse = _flash_forward(q, k, v, bias, causal, interpret)
+    return o, (q, k, v, bias, o, lse)
 
 
 def _attention_pallas_bwd(causal, interpret, residuals, do):
-    q, k, v, bias = residuals
-    dh = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    scores = scores + bias[:, None, None, :].astype(jnp.float32)
-    if causal:
-        s = q.shape[2]
-        row = jnp.arange(s)
-        band = row[None, :] <= row[:, None]
-        scores = jnp.where(band[None, None], scores, NEG_INF)
-    p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    return (
-        dq.astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
-        jnp.zeros_like(bias),
+    q, k, v, bias, o, lse = residuals
+    b, h, s, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    block = _block_size(s)
+    bias3 = bias.astype(jnp.float32)[:, None, :]
+    bias_spec = pl.BlockSpec((1, 1, s), lambda bb, hh, i: (bb, 0, 0))
+    # delta = rowsum(dO * O): one fused XLA elementwise+reduce, O(S·Dh).
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, causal=causal, block_k=block
+        ),
+        grid=(b, h, s // block),
+        in_specs=[
+            _row_spec(block, dh),          # q
+            _full_spec(block, s, dh),      # k
+            _full_spec(block, s, dh),      # v
+            bias_spec,
+            _row_spec(block, dh),          # do
+            pl.BlockSpec((1, 1, block, 1), lambda bb, hh, i: (bb, hh, i, 0)),
+            pl.BlockSpec((1, 1, block, 1), lambda bb, hh, i: (bb, hh, i, 0)),
+        ],
+        out_specs=_row_spec(block, dh),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 4,
+            transcendentals=b * h * s * s,
+        ),
+    )(q, k, v, bias3, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, causal=causal, block_q=block
+        ),
+        grid=(b, h, s // block),
+        in_specs=[
+            _full_spec(block, s, dh),      # q (full, streamed in blocks)
+            _row_spec(block, dh),          # k block
+            _row_spec(block, dh),          # v block
+            bias_spec,
+            _full_spec(block, s, dh),      # do (full)
+            pl.BlockSpec((1, 1, s, 1), lambda bb, hh, i: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, s, 1), lambda bb, hh, i: (bb, hh, 0, 0)),
+        ],
+        out_specs=[_row_spec(block, dh), _row_spec(block, dh)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, dh), v.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 4,
+            transcendentals=b * h * s * s,
+        ),
+    )(q, k, v, bias3, do, lse, delta)
+
+    return dq, dk, dv, jnp.zeros_like(bias)
 
 
 _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
 def _pad_len(s: int) -> int:
-    """Pad sequence length to a sublane-friendly multiple of 8 (min 16)."""
-    target = max(16, -(-s // 8) * 8)
-    return target
+    """Pad S to a tile-friendly size: multiples of 8 up to 128 (min 16),
+    then multiples of 128 up to 512, multiples of 256 beyond (so
+    ``_block_size`` can pick large blocks with bounded padding waste)."""
+    if s <= 128:
+        return max(16, -(-s // 8) * 8)
+    if s <= 512:
+        return -(-s // 128) * 128
+    return -(-s // 256) * 256
 
 
 def dot_product_attention(
@@ -197,23 +381,26 @@ def dot_product_attention(
     bias = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)
 
     if impl == "auto":
-        # Measured on v5e (B=256, H=8, S=56, Dh=32, full train step): XLA's
-        # fused attention wins at document scale (928 vs 786 steps/s) — the
-        # whole (B,H,S,S) tensor fits comfortably and fusion amortizes
-        # better than Pallas grid cells at such tiny tiles.  The Pallas
-        # kernel is the scaling path: it keeps scores resident in VMEM, so
-        # it takes over once S grows past the fusion-friendly regime.
+        # Measured on v5e, fwd+bwd, fetch-verified (B=4, H=8, Dh=64,
+        # ms/iter, pallas vs XLA): S=256 3.9/3.2, S=512 2.4/2.5,
+        # S=1024 3.2/3.6, S=2048 4.0/7.4, S=4096 7.7/21.4.  XLA's fused
+        # attention wins at document scale (the (B,H,S,S) tensor fits and
+        # fusion amortizes better than grid cells at tiny tiles); the flash
+        # kernels take over from S>256 — time crossover at S=512, widening
+        # to 2.8x at S=4096 — and are the memory-scaling path either way
+        # (O(S·Dh) HBM on both passes).
         use_pallas = (
             pltpu is not None
             and jax.default_backend() == "tpu"
-            and s > 128
+            and s > 256
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "xla":
         return _attention_xla(q, k, v, bias, causal)
 
     # Pallas path: pad S up to a tile-friendly size; padded keys get -inf
-    # bias, padded query rows are sliced away.
+    # bias, padded query rows are sliced away (their cotangents are zero,
+    # so padding contributes nothing to any gradient either).
     s_pad = _pad_len(s)
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]

@@ -88,3 +88,62 @@ def test_fully_masked_rows_do_not_nan(rng):
     mask = jnp.zeros((1, 4), bool)  # nothing attendable
     out = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flash_gradients_match_xla_long_sequence(rng):
+    """Blockwise backward at S=512 (multi-block grid, padding-free) and
+    S=200 (padded tail): gradients must match XLA (VERDICT round 1 #4)."""
+    for s, valid in ((512, 400), (200, 150)):
+        q, k, v = make_qkv(rng, b=1, h=2, s=s, dh=32)
+        mask = jnp.ones((1, s), bool).at[0, valid:].set(False)
+
+        def f(impl):
+            def inner(q, k, v):
+                o = dot_product_attention(
+                    q, k, v, key_mask=mask, impl=impl,
+                    interpret=(impl == "pallas"),
+                )
+                # position-weighted loss so dq/dk/dv all get rich signal
+                w = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
+                return jnp.sum((o * w) ** 2) / s
+            return inner
+
+        g_ref = jax.grad(f("xla"), argnums=(0, 1, 2))(q, k, v)
+        g_pal = jax.grad(f("pallas"), argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g_ref, g_pal):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"S={s} d{name}",
+            )
+
+
+def test_flash_causal_gradients_match_xla(rng):
+    q, k, v = make_qkv(rng, b=1, h=2, s=160, dh=16)
+
+    def f(impl):
+        return lambda q, k, v: jnp.sum(
+            dot_product_attention(
+                q, k, v, causal=True, impl=impl,
+                interpret=(impl == "pallas"),
+            ) ** 2
+        )
+
+    g_ref = jax.grad(f("xla"), argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(f("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_flash_forward_multiblock_matches_xla(rng):
+    """S=512 exercises a 4x4 block grid with online softmax accumulation."""
+    q, k, v = make_qkv(rng, b=2, h=2, s=512, dh=32)
+    mask = jnp.asarray(rng.integers(0, 2, (2, 512)), bool).at[:, 0].set(True)
+    ref = dot_product_attention(q, k, v, key_mask=mask, impl="xla")
+    out = dot_product_attention(
+        q, k, v, key_mask=mask, impl="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
