@@ -341,9 +341,16 @@ def train(config: TrainConfig) -> Dict[str, Any]:
 
     spec = DatasetSpec(config.dataset_name, config.data_dir, config.batch_size)
     schema = spec.schema
+    # Multi-host data parallelism: every process loads a disjoint 1-in-N
+    # stride of the train records (DataLoader num_hosts/host_id) and feeds
+    # its own addressable batch shard; with input_mode='device' each host
+    # caches only its shard in HBM.  Single-process runs are unchanged
+    # (process_count() == 1).  Validation/test stay unsharded so the exact
+    # split-level num/den scores are computed identically on every host.
     train_loader = spec.make_dataset(
         "train", shuffle=True, repeat=True, seed=config.seed,
         drop_remainder=True,
+        num_hosts=jax.process_count(), host_id=jax.process_index(),
     )
     val_loader = spec.make_dataset("val")
     test_loader = spec.make_dataset("test")
@@ -376,7 +383,9 @@ def train(config: TrainConfig) -> Dict[str, Any]:
                 train_loader.num_records // config.batch_size, 1
             )
         else:
-            actual_steps = max(spec.steps_per_epoch("train"), 1)
+            actual_steps = max(
+                -(-train_loader.num_records // config.batch_size), 1
+            )
         start_epoch = 1 + int(state.step) // actual_steps
         logger.info("resumed from %s at epoch %d", last_path, start_epoch)
 
@@ -411,7 +420,10 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     base_key = jax.random.PRNGKey(config.seed)
     val_key = jax.random.fold_in(base_key, 2**30)
 
-    steps_per_epoch = spec.steps_per_epoch("train")
+    # Per-host epoch length (the loader may hold a 1-in-N host shard).
+    steps_per_epoch = max(
+        -(-train_loader.num_records // config.batch_size), 1
+    )
     best_score = -math.inf
     history = []
     if config.input_mode == "device":

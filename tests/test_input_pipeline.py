@@ -105,3 +105,52 @@ def test_train_host_and_device_modes_agree(rico_dir, tmp_path):
             - results["host"]["history"][0]["loss"])
         < 0.5 * results["host"]["history"][0]["loss"]
     )
+
+
+def test_multi_host_sharding_is_disjoint_and_exhaustive(crello_spec):
+    """Two host loaders (num_hosts=2) must cover disjoint, exhaustive record
+    sets — the multi-host data-parallel contract (SURVEY §2.6 host-DP)."""
+    full = crello_spec.make_dataset("train", batch_size=8)
+    h0 = crello_spec.make_dataset("train", batch_size=8, num_hosts=2, host_id=0)
+    h1 = crello_spec.make_dataset("train", batch_size=8, num_hosts=2, host_id=1)
+    # Disjoint exhaustive strides of the record list (positions, not content:
+    # the synthetic split contains duplicate-content records).
+    assert h0._payloads == full._payloads[0::2]
+    assert h1._payloads == full._payloads[1::2]
+    assert h0.num_records + h1.num_records == full.num_records
+    assert abs(h0.num_records - h1.num_records) <= 1  # balanced
+
+    # End-to-end: batches drawn from both shards re-assemble the full split.
+    def lengths(loader):
+        out = []
+        for batch in loader:
+            out.extend(batch["length"][: batch["num_valid"], 0].tolist())
+        return sorted(out)
+
+    assert sorted(lengths(h0) + lengths(h1)) == lengths(full)
+
+
+def test_train_wires_process_sharding(rico_dir, tmp_path, monkeypatch):
+    """train() must pass jax.process_index()/process_count() into the train
+    loader (VERDICT round 1: the num_hosts flag was dead code)."""
+    import jax
+
+    from flexdm_tpu.train import TrainConfig, train
+    from flexdm_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    # orbax refuses to save under a fake process_count; checkpoint writes are
+    # not what this test is about.
+    monkeypatch.setattr(
+        trainer_mod.ckpt_lib, "save_checkpoint", lambda *a, **k: None
+    )
+    config = TrainConfig(
+        dataset_name="rico", data_dir=rico_dir,
+        job_dir=str(tmp_path / "mh_job"), latent_dim=16, num_blocks=1,
+        num_heads=2, batch_size=8, num_epochs=1, validation_freq=1,
+        attention_impl="xla", num_devices=1, seed=0,
+    )
+    results = train(config)
+    # 96-record synthetic train split -> 48 on this host -> 6 steps of 8.
+    assert results["history"][-1]["step"] == 48 // 8
