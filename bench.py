@@ -7,7 +7,12 @@ batch 256, S=50, latent 256, 4 DeepSVG blocks — on the default JAX backend
 
 Prints ONE JSON line:
     {"metric": "train_steps_per_sec_per_chip", "value": N,
-     "unit": "steps/sec", "vs_baseline": M}
+     "unit": "steps/sec", "vs_baseline": M, "extra": {...}}
+
+``extra`` carries the secondary regression anchors (unless --flagship-only):
+bf16 flagship, the scaled D=512/8-block config, eval throughput, and the
+S=512 flash-attention kernel — so BENCH_rN catches regressions beyond the
+flagship step.
 
 ``vs_baseline`` compares against the reference implementation's measured
 eager-TF step rate on this machine (see tools/measure_tf_baseline.py, stored
@@ -15,21 +20,186 @@ in BASELINE_MEASURED.json).  The reference trains with ``run_eagerly=True``
 (reference train.py:76), so eager step time is the honest denominator; if no
 measurement file exists, vs_baseline is null.
 
-Usage: python bench.py [--quick] [--batch-size N] [--steps N]
+NOTE on timing: on this platform's remote-execution path,
+``jax.block_until_ready`` returns before the device finishes (measured
+>1000x "speedups" otherwise); fetching a scalar VALUE to the host is the
+only reliable completion barrier, so every timed region ends with a
+``float(...)`` fetch, and per-step work is bundled inside ``lax.scan``.
+
+Usage: python bench.py [--quick] [--flagship-only] [--batch-size N] [--steps N]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import tempfile
 import time
 
 
+def _spec(batch_size):
+    from flexdm_tpu.data import DatasetSpec, synthetic
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"flexdm_bench_crello_{batch_size}"
+    )
+    if not os.path.exists(os.path.join(cache, "count.json")):
+        synthetic.generate(
+            "crello", cache, max(batch_size, 64), 16, 16, seed=0
+        )
+    return DatasetSpec("crello", cache, batch_size=batch_size)
+
+
+def measure_train(
+    spec, batch_size, latent, blocks, steps, attention_impl="auto",
+    dtype=None, remat=False,
+):
+    """steps/sec of the scan-bundled training loop (the trainer's hot path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.data.pipeline import DeviceDataCache
+    from flexdm_tpu.models import MFPModel, make_task_config
+    from flexdm_tpu.parallel import mesh as mesh_lib
+    from flexdm_tpu.train import (
+        TrainState,
+        init_params,
+        make_optimizer,
+        make_train_step,
+    )
+    from flexdm_tpu.train.trainer import make_scan_steps
+
+    model = MFPModel(
+        spec.schema, latent_dim=latent, num_blocks=blocks,
+        attention_impl=attention_impl, dtype=dtype, remat=remat,
+    )
+    loader = spec.make_dataset("train", batch_size=batch_size, shuffle=True,
+                               repeat=True, drop_remainder=True)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in split_device_batch(next(iter(loader))).items()
+    }
+    params = init_params(model, batch, seed=0)
+    tx = make_optimizer(1e-4)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.asarray(0))
+
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh(n_dev if batch_size % n_dev == 0 else 1)
+    state = mesh_lib.shard_state(state, mesh)
+
+    task_config = make_task_config(spec.schema, "elem_pos_attr_img_txt")
+    cache = DeviceDataCache(loader)
+    base_step = make_train_step(model, task_config, tx, l2=1e-2)
+    # No donation: the same initial state is reused across timing runs.
+    scan_fn = jax.jit(make_scan_steps(base_step, mesh))
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    def run(n):
+        idx = jnp.asarray(rng.integers(
+            0, cache.num_records, size=(n, batch_size), dtype=np.int32
+        ))
+        s, m = scan_fn(state, cache.data, idx, key)
+        return float(m["loss"])
+
+    t0 = time.perf_counter()
+    loss_value = run(steps)
+    compile_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loss_value = run(steps)
+    elapsed = time.perf_counter() - t0
+    per_chip = mesh.shape["data"]
+    return {
+        "steps_per_sec": round(steps / elapsed, 3),
+        "docs_per_sec": round(steps / elapsed * batch_size, 1),
+        "per_chip_steps_per_sec": round(steps / elapsed / per_chip, 3),
+        "compile_time_sec": round(compile_time, 2),
+        "loss": loss_value,
+    }
+
+
+def measure_eval(spec, batch_size=256, batches=20):
+    """Eval-harness steady-state throughput: docs/sec of the 'pos' step
+    (the jitted forward+metrics the harness runs per batch, fetch-barriered
+    exactly like the harness does)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.evaluation.harness import _group_masks, make_eval_step
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.train import init_params
+
+    model = MFPModel(spec.schema, latent_dim=256, num_blocks=4)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in split_device_batch(
+            next(iter(spec.make_dataset("test", batch_size=batch_size)))
+        ).items()
+    }
+    params = init_params(model, batch, seed=0)
+    groups = spec.schema.attribute_groups
+    masks = _group_masks(spec.schema, batch, groups["pos"])
+    step, _ = make_eval_step(model, num_iter=1, sort=False)
+    w = jnp.ones((batch_size,), jnp.float32)
+    np.asarray(step(params, batch, masks, w))  # compile
+    t0 = time.perf_counter()
+    for _ in range(batches):
+        np.asarray(step(params, batch, masks, w))  # fetch = barrier
+    elapsed = time.perf_counter() - t0
+    return {"eval_docs_per_sec": round(batches * batch_size / elapsed, 1)}
+
+
+def measure_attention_s512():
+    """Flash kernel vs XLA at S=512 (fwd+bwd, ms/iter, fetch-verified)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexdm_tpu.ops.attention import dot_product_attention
+
+    B, H, S, Dh, iters = 8, 8, 512, 64, 20
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (B, H, S, Dh))
+        for i in range(3)
+    )
+    mask = jnp.ones((B, S), bool)
+    out = {}
+    for impl in ("pallas", "xla"):
+        def loss(q, k, v):
+            o = dot_product_attention(q, k, v, key_mask=mask, impl=impl)
+            return jnp.sum(o * o)
+
+        def many(q, k, v):
+            def body(c, i):
+                gq, _, _ = jax.grad(loss, argnums=(0, 1, 2))(q + c * 0, k, v)
+                return c + jnp.sum(gq[0, 0, 0, :1]), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return c
+
+        fn = jax.jit(many)
+        float(fn(q, k, v))  # compile
+        t0 = time.perf_counter()
+        float(fn(q, k, v))
+        out[f"attn_s512_{impl}_ms"] = round(
+            1000 * (time.perf_counter() - t0) / iters, 2
+        )
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--quick", action="store_true", help="small shapes, CPU-friendly")
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes, CPU-friendly, flagship only")
+    parser.add_argument("--flagship-only", action="store_true",
+                        help="skip the secondary benchmarks")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--latent-dim", type=int, default=None)
@@ -40,22 +210,10 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from flexdm_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-
-    from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
-    from flexdm_tpu.models import MFPModel, make_task_config
-    from flexdm_tpu.parallel import mesh as mesh_lib
-    from flexdm_tpu.train import (
-        TrainState,
-        init_params,
-        make_optimizer,
-        make_train_step,
-    )
 
     if args.quick:
         batch_size = args.batch_size or 32
@@ -67,78 +225,48 @@ def main() -> None:
     blocks = args.num_blocks or blocks
     steps = args.steps or steps
 
-    cache = os.path.join(
-        tempfile.gettempdir(), f"flexdm_bench_crello_{batch_size}"
+    spec = _spec(batch_size)
+    flagship = measure_train(
+        spec, batch_size, latent, blocks, steps,
+        attention_impl=args.attention_impl, dtype=args.dtype,
     )
-    if not os.path.exists(os.path.join(cache, "count.json")):
-        synthetic.generate(
-            "crello", cache, max(batch_size, 64), 16, 16, seed=0
-        )
-    spec = DatasetSpec("crello", cache, batch_size=batch_size)
 
-    model = MFPModel(
-        spec.schema,
-        latent_dim=latent,
-        num_blocks=blocks,
-        attention_impl=args.attention_impl,
-        dtype=args.dtype,
-    )
-    loader = spec.make_dataset("train", batch_size=batch_size, shuffle=True,
-                               repeat=True, drop_remainder=True)
-    host_batch = split_device_batch(next(iter(loader)))
-    # Tile the synthetic pool up to the benchmark batch size.
-    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+    extra = {
+        "docs_per_sec": flagship["docs_per_sec"],
+        "batch_size": batch_size,
+        "latent_dim": latent,
+        "num_blocks": blocks,
+        "devices": len(jax.devices()),
+        "backend": jax.default_backend(),
+        "compile_time_sec": flagship["compile_time_sec"],
+        "loss": flagship["loss"],
+    }
 
-    params = init_params(model, batch, seed=0)
-    tx = make_optimizer(1e-4)
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.asarray(0))
-
-    n_dev = len(jax.devices())
-    mesh = mesh_lib.make_mesh(n_dev if batch_size % n_dev == 0 else 1)
-    state = mesh_lib.replicate(state, mesh)
-    batch = mesh_lib.shard_batch(batch, mesh)
-
-    task_config = make_task_config(spec.schema, "elem_pos_attr_img_txt")
-    from flexdm_tpu.data.pipeline import DeviceDataCache
-    from flexdm_tpu.train.trainer import make_scan_steps
-
-    # Benchmark the trainer's actual execution mode: dataset resident in
-    # HBM, K steps bundled into one lax.scan call (zero host involvement).
-    cache = DeviceDataCache(loader)
-    base_step = make_train_step(model, task_config, tx, l2=1e-2)
-    # No donation: the same initial state is reused across timing runs.
-    scan_fn = jax.jit(make_scan_steps(base_step, mesh))
-    key = jax.random.PRNGKey(0)
-    rng = np.random.default_rng(0)
-
-    def index_block(n):
-        return jnp.asarray(
-            rng.integers(0, cache.num_records, size=(n, batch_size), dtype=np.int32)
-        )
-
-    # NOTE on timing: on this platform's remote-execution path,
-    # jax.block_until_ready returns before the device finishes (measured
-    # >1000x "speedups" otherwise); fetching a scalar VALUE to the host is
-    # the only reliable completion barrier, so every timed region below ends
-    # with float(loss).
-    def run(n):
-        s, m = scan_fn(state0, cache.data, index_block(n), key)
-        return float(m["loss"])
-
-    state0 = state
-    t0 = time.perf_counter()
-    loss_value = run(steps)
-    compile_time = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    loss_value = run(steps)
-    elapsed = time.perf_counter() - t0
-    steps_per_sec = steps / elapsed
-    docs_per_sec = steps_per_sec * batch_size
+    if not (args.quick or args.flagship_only):
+        # Secondary anchors; a failure in any must not lose the main metric.
+        for name, fn in (
+            ("bf16", lambda: {
+                "bf16_steps_per_sec": measure_train(
+                    spec, batch_size, latent, blocks, steps,
+                    dtype="bfloat16",
+                )["steps_per_sec"]}),
+            ("scaled", lambda: {
+                "scaled_d512x8_steps_per_sec": measure_train(
+                    spec, batch_size, 512, 8, max(steps // 2, 5),
+                )["steps_per_sec"]}),
+            ("eval", lambda: measure_eval(spec)),
+            ("attn", measure_attention_s512),
+        ):
+            try:
+                extra.update(fn())
+            except Exception as e:  # pragma: no cover
+                logging.exception("bench sub-benchmark %s failed", name)
+                extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
 
     vs_baseline = None
-    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    baseline_path = os.path.join(
+        os.path.dirname(__file__), "BASELINE_MEASURED.json"
+    )
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
@@ -146,27 +274,16 @@ def main() -> None:
         if ref:
             # Normalize to per-doc throughput in case batch sizes differ.
             ref_docs = ref * baseline.get("batch_size", batch_size)
-            vs_baseline = round(docs_per_sec / ref_docs, 2)
+            vs_baseline = round(flagship["docs_per_sec"] / ref_docs, 2)
 
     print(
         json.dumps(
             {
                 "metric": "train_steps_per_sec_per_chip",
-                "value": round(steps_per_sec / max(len(jax.devices()), 1)
-                               if mesh.shape[mesh_lib.DATA_AXIS] > 1
-                               else steps_per_sec, 3),
+                "value": flagship["per_chip_steps_per_sec"],
                 "unit": "steps/sec",
                 "vs_baseline": vs_baseline,
-                "extra": {
-                    "docs_per_sec": round(docs_per_sec, 1),
-                    "batch_size": batch_size,
-                    "latent_dim": latent,
-                    "num_blocks": blocks,
-                    "devices": len(jax.devices()),
-                    "backend": jax.default_backend(),
-                    "compile_time_sec": round(compile_time, 2),
-                    "loss": loss_value,
-                },
+                "extra": extra,
             }
         )
     )

