@@ -390,6 +390,53 @@ class DatasetSpec:
             out[name] = x
         return out
 
+    def batch_documents(
+        self, documents: Sequence[Dict]
+    ) -> Dict[str, np.ndarray]:
+        """Inverse of :meth:`unbatch`: human-readable documents -> a
+        preprocessed batch (the serving ingress path; the reference has no
+        equivalent — its only entry is TFRecord files).
+
+        Each document is ``{"elements": [{field: value, ...}, ...],
+        canvas_field: value, ...}`` with raw values (strings for lookup
+        columns, numbers for discretized/numerical ones).  Missing fields
+        default to zeros — they are typically the masked prediction targets.
+        ``length`` is derived from ``len(elements)``.
+        """
+        S = self.max_length
+        raws = []
+        for doc in documents:
+            elements = list(doc.get("elements", []))[:S]
+            n = len(elements)
+            raw: Dict[str, np.ndarray] = {}
+            for name, column in self.columns.items():
+                shape = tuple(column.get("shape", (1,)))
+                np_dtype = _NP_DTYPES[column["dtype"]]
+                if column.get("is_sequence", False):
+                    arr = np.zeros((S,) + shape, dtype=np_dtype)
+                    if np_dtype is object:
+                        arr[:] = b""
+                    for j, el in enumerate(elements):
+                        if name in el:
+                            arr[j] = np.asarray(
+                                el[name], dtype=np_dtype
+                            ).reshape(shape)
+                else:
+                    arr = np.zeros(shape, dtype=np_dtype)
+                    if np_dtype is object:
+                        arr[:] = b""
+                    if name == "length":
+                        # Raw records store the 1-based element count; the
+                        # length lookup maps it to the zero-based id.
+                        arr[:] = max(n, 1)
+                    elif name in doc:
+                        arr[:] = np.asarray(
+                            doc[name], dtype=np_dtype
+                        ).reshape(shape)
+                raw[name] = arr
+            raws.append(self.preprocess(raw))
+        return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+
     def decode_batch(self, payloads: Sequence[bytes]) -> Dict[str, np.ndarray]:
         """Stack decoded records into a batch dict of (B, ...) arrays."""
         records = [self.decode_record(p) for p in payloads]

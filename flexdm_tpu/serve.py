@@ -1,0 +1,255 @@
+"""Inference serving: load a trained job, serve masked-field predictions.
+
+The reference has no serving story — its only entries are the training CLI
+and notebooks.  This module turns a job directory into a production-style
+inference service:
+
+* :class:`InferenceEngine` — library API: fixed-shape jit-compiled eval
+  steps per task (compiled once, reused; requests are padded to the static
+  batch), human-readable documents in and out (via
+  ``DatasetSpec.batch_documents`` / ``unbatch``).
+* ``python -m flexdm_tpu.serve --job-dir <job>`` — a dependency-free HTTP
+  server (stdlib ``ThreadingHTTPServer``):
+
+  - ``GET /healthz`` → ``{"status": "ok"}``
+  - ``GET /schema`` → dataset/field metadata
+  - ``POST /predict`` → ``{"task": "pos", "documents": [...],
+    "num_iter": 1}`` → predicted documents (only masked fields change:
+    ground truth is merged back, reference mfp.py:46-69).
+
+Task modes mirror the eval harness: ``elem`` masks one (given or random)
+element, the attribute groups (``pos``/``attr``/``img``/``txt``/``type``)
+mask a field group across all elements.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _jsonable(x):
+    """Convert unbatch output (numpy scalars/arrays, bytes) to JSON types."""
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, bytes):
+        return x.decode("utf-8", "replace")
+    if isinstance(x, np.ndarray):
+        return _jsonable(x.tolist())
+    if isinstance(x, np.generic):
+        return _jsonable(x.item())
+    return x
+
+
+class InferenceEngine:
+    """Fixed-shape, jit-cached masked-field prediction over a trained job."""
+
+    def __init__(
+        self,
+        job_dir: str,
+        checkpoint: str = "best",
+        batch_size: int = 8,
+        data_dir: Optional[str] = None,
+    ):
+        from .demo import load_model
+
+        self.model, self.params, self.spec = load_model(
+            job_dir, checkpoint, batch_size=batch_size
+        )
+        if data_dir:
+            from .data import DatasetSpec
+
+            self.spec = DatasetSpec(self.spec.name, data_dir, batch_size)
+        self.schema = self.spec.schema
+        self.batch_size = batch_size
+        self._steps: Dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    @property
+    def tasks(self) -> List[str]:
+        return ["elem"] + list(self.schema.attribute_groups.keys())
+
+    def _step(self, task: str, num_iter: int):
+        """One jitted program per (task, num_iter); compiled on first use."""
+        import jax
+
+        from .demo import build_task_masks
+        from .evaluation.harness import task_id_for_mode
+        from .models import forward_eval
+
+        key = (task, num_iter)
+        with self._lock:
+            if key in self._steps:
+                return self._steps[key]
+
+        model, schema = self.model, self.schema
+        task_id = None
+        if getattr(model, "context", None) == "id":
+            task_id = task_id_for_mode(schema, task)
+
+        def step(params, batch, mask_key):
+            import jax.numpy as jnp
+
+            masks = build_task_masks(schema, batch, task, key=mask_key)
+            tasks = None
+            if task_id is not None:
+                tasks = jnp.full(
+                    (batch["length"].shape[0],), task_id, dtype=jnp.int32
+                )
+            return forward_eval(
+                model, params, batch, masks, tasks=tasks, num_iter=num_iter
+            )
+
+        fn = jax.jit(step)
+        with self._lock:
+            self._steps[key] = fn
+        return fn
+
+    def predict(
+        self,
+        documents: List[Dict],
+        task: str = "pos",
+        num_iter: int = 1,
+        seed: int = 0,
+    ) -> List[Dict]:
+        """Documents -> documents with the task's masked fields predicted."""
+        import jax
+        import jax.numpy as jnp
+
+        if task not in self.tasks:
+            raise ValueError(f"unknown task {task!r}; one of {self.tasks}")
+        if not documents:
+            return []
+        n = len(documents)
+        if n > self.batch_size:
+            out: List[Dict] = []
+            for start in range(0, n, self.batch_size):
+                out.extend(self.predict(
+                    documents[start:start + self.batch_size],
+                    task, num_iter, seed,
+                ))
+            return out
+
+        batch = self.spec.batch_documents(
+            list(documents) + [documents[-1]] * (self.batch_size - n)
+        )
+        device_batch = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if not (v.dtype == object)
+        }
+        pred = self._step(task, num_iter)(
+            self.params, device_batch, jax.random.PRNGKey(seed)
+        )
+        host = {k: np.asarray(jax.device_get(v)) for k, v in pred.items()}
+        # demo-only columns (strings) pass straight through for rendering
+        for k, v in batch.items():
+            if v.dtype == object and k not in host:
+                host[k] = v
+        return [_jsonable(d) for d in self.spec.unbatch(host)[:n]]
+
+    def schema_info(self) -> Dict:
+        return {
+            "dataset": self.spec.name,
+            "max_length": self.schema.max_length,
+            "tasks": self.tasks,
+            "fields": {
+                c.name: {
+                    "is_sequence": c.is_sequence,
+                    "categorical": c.is_categorical,
+                    "shape": list(c.shape),
+                }
+                for c in self.schema.columns
+            },
+        }
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            logger.info("%s " + fmt, self.address_string(), *args)
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/schema":
+                self._send(200, engine.schema_info())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                docs = req["documents"]
+                predictions = engine.predict(
+                    docs,
+                    task=req.get("task", "pos"),
+                    num_iter=int(req.get("num_iter", 1)),
+                    seed=int(req.get("seed", 0)),
+                )
+                self._send(200, {"predictions": predictions})
+            except (KeyError, ValueError, TypeError) as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("predict failed")
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8077):
+    """Blocking HTTP server; returns the server object when used threaded."""
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    logger.info("serving on %s:%d", host, server.server_address[1])
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve masked-field predictions from a trained job"
+    )
+    parser.add_argument("--job-dir", dest="job_dir", required=True)
+    parser.add_argument("--checkpoint", default="best")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--data-dir", default=None,
+                        help="override the data dir recorded in args.json")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8077)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    engine = InferenceEngine(
+        args.job_dir, args.checkpoint, args.batch_size, args.data_dir
+    )
+    server = serve(engine, args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

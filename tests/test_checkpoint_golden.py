@@ -216,3 +216,63 @@ def test_unmatched_reference_variables_are_only_bookkeeping(
         assert "OBJECT_GRAPH" in leftover or "save_counter" in leftover, (
             leftover
         )
+
+
+@pytest.mark.parametrize("dataset", ["crello", "rico"])
+def test_reference_pipeline_batch_golden(dataset, request, ref_modules):
+    """End-to-end input-pipeline parity: the reference's tf.data pipeline
+    (reference data/spec.py:226-287 — parse_sequence_example + lookups +
+    discretizers) and our DataLoader must produce the SAME preprocessed
+    records from the same data dir.
+
+    The reference pads ragged batches to the in-batch max length while we pad
+    statically to schema.max_length, so records are compared trimmed to their
+    own length and matched as sorted multisets (shard order differs).
+    """
+    import numpy as np
+
+    from flexdm_tpu.data import DatasetSpec
+
+    RefDataSpec, _ = ref_modules
+    data_dir = request.getfixturevalue(f"{dataset}_dir")
+    ref_spec = RefDataSpec(dataset, data_dir, batch_size=8)
+    spec = DatasetSpec(dataset, data_dir, batch_size=8)
+    schema = spec.schema
+
+    def canonical(rec):
+        """Trim sequence columns to the record's length; serialize."""
+        n = int(np.asarray(rec["length"]).reshape(-1)[0]) + 1
+        parts = []
+        for c in sorted(schema.columns, key=lambda c: c.name):
+            if c.name not in rec:
+                continue
+            v = np.asarray(rec[c.name])
+            if c.is_sequence:
+                v = v[:n]
+            if v.dtype.kind in ("U", "S", "O"):  # demo-only string columns
+                key = "|".join(
+                    x.decode() if isinstance(x, bytes) else str(x)
+                    for x in v.reshape(-1)
+                )
+            else:
+                key = v.astype(np.float64).round(5).tobytes()
+            parts.append((c.name, key))
+        return repr(parts)
+
+    ours = []
+    for batch in spec.make_dataset("test", batch_size=8, pad_final_batch=False):
+        n_valid = batch["num_valid"]
+        for i in range(n_valid):
+            ours.append(canonical({k: v[i] for k, v in batch.items()
+                                   if k != "num_valid"}))
+
+    theirs = []
+    for batch in ref_spec.make_dataset("test", batch_size=8, shuffle=False):
+        B = int(batch["length"].shape[0])
+        for i in range(B):
+            theirs.append(canonical(
+                {k: v[i].numpy() for k, v in batch.items()}
+            ))
+
+    assert len(ours) == len(theirs)
+    assert sorted(ours) == sorted(theirs)

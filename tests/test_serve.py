@@ -1,0 +1,125 @@
+"""Serving path: batch_documents inverse, InferenceEngine, HTTP round trip."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from flexdm_tpu.data import split_device_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_job(request, tmp_path_factory):
+    from flexdm_tpu.train import TrainConfig, train
+
+    rico_dir = request.getfixturevalue("rico_dir")
+    job = str(tmp_path_factory.mktemp("serve_job"))
+    train(TrainConfig(
+        dataset_name="rico", data_dir=rico_dir, job_dir=job,
+        latent_dim=16, num_blocks=1, num_heads=2, batch_size=16,
+        num_epochs=1, validation_freq=1, attention_impl="xla",
+        num_devices=1, seed=0,
+    ))
+    return job
+
+
+def test_batch_documents_inverts_unbatch(crello_spec):
+    """batch -> unbatch -> batch_documents reproduces the preprocessed
+    arrays (modulo padding rows, which carry no information)."""
+    host = next(iter(crello_spec.make_dataset("test", batch_size=4)))
+    batch = split_device_batch(host)
+    docs = crello_spec.unbatch(host)
+    rebuilt = crello_spec.batch_documents(docs)
+
+    S = crello_spec.max_length
+    for name, column in crello_spec.columns.items():
+        if column.get("demo_only", False):
+            continue
+        a, b = np.asarray(batch[name]), rebuilt[name]
+        assert a.shape == b.shape, name
+        if column.get("is_sequence", False):
+            for i in range(a.shape[0]):
+                n = int(batch["length"][i, 0]) + 1
+                np.testing.assert_array_equal(a[i, :n], b[i, :n], err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_engine_predicts_masked_fields(tiny_job, rico_spec):
+    from flexdm_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(tiny_job, checkpoint="final", batch_size=4)
+    docs = rico_spec.unbatch(next(iter(rico_spec.make_dataset("test", batch_size=3))))
+    docs = [json.loads(json.dumps(d, default=str)) for d in engine_safe(docs)]
+
+    preds = engine.predict(docs, task="pos")
+    assert len(preds) == 3
+    for doc, pred in zip(docs, preds):
+        assert len(pred["elements"]) == len(doc["elements"])
+        for el_in, el_out in zip(doc["elements"], pred["elements"]):
+            # non-pos fields are ground truth, merged back verbatim
+            assert el_out["type"] == el_in["type"]
+        # the pos group was re-predicted: values exist and are valid bins
+        for el in pred["elements"]:
+            for f in ("left", "top", "width", "height"):
+                assert f in el
+
+    # a 5-doc request exceeds the static batch (4) and chunks transparently
+    preds5 = engine.predict(docs + docs[:2], task="elem")
+    assert len(preds5) == 5
+
+
+def engine_safe(docs):
+    """unbatch emits numpy scalars; serialize like a client would."""
+    from flexdm_tpu.serve import _jsonable
+
+    return [_jsonable(d) for d in docs]
+
+
+def test_http_server_round_trip(tiny_job, rico_spec):
+    from flexdm_tpu.serve import InferenceEngine, serve
+
+    engine = InferenceEngine(tiny_job, checkpoint="final", batch_size=2)
+    server = serve(engine, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.load(r) == {"status": "ok"}
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/schema", timeout=30
+        ) as r:
+            info = json.load(r)
+        assert info["dataset"] == "rico"
+        assert "pos" in info["tasks"]
+
+        docs = engine_safe(rico_spec.unbatch(
+            next(iter(rico_spec.make_dataset("test", batch_size=2)))
+        ))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"task": "pos", "documents": docs}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert len(out["predictions"]) == 2
+        assert out["predictions"][0]["elements"]
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"task": "nope", "documents": docs}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
