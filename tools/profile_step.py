@@ -1,0 +1,182 @@
+"""Fetch-verified training-step breakdown on the current backend.
+
+Times each segment of the training step separately — masking/preprocess,
+forward, forward+backward, optimizer update, full step — using the only
+reliable barrier on this platform (a host value fetch) with the work
+bundled inside ``lax.scan`` (per-iteration key variation prevents XLA from
+hoisting loop-invariant work; see CLAUDE.md "TRUST NOTHING WITHOUT A VALUE
+FETCH").
+
+Usage:
+    python tools/profile_step.py [--batch-size 256] [--latent-dim 256]
+        [--num-blocks 4] [--dtype bfloat16] [--remat] [--iters 30]
+
+Prints one JSON line with ms-per-iteration per segment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--latent-dim", type=int, default=256)
+    parser.add_argument("--num-blocks", type=int, default=4)
+    parser.add_argument("--dtype", default=None)
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--attention-impl", default="auto")
+    parser.add_argument("--iters", type=int, default=30)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from flexdm_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
+    from flexdm_tpu.models import MFPModel, forward_train, make_task_config
+    from flexdm_tpu.models.masking import preprocess_for_train, sample_tasks
+    from flexdm_tpu.train import TrainState, init_params, make_optimizer
+    from flexdm_tpu.train.optim import l2_penalty
+
+    B = args.batch_size
+    cache = os.path.join(tempfile.gettempdir(), f"flexdm_bench_crello_{B}")
+    if not os.path.exists(os.path.join(cache, "count.json")):
+        synthetic.generate("crello", cache, max(B, 64), 16, 16, seed=0)
+    spec = DatasetSpec("crello", cache, batch_size=B)
+    schema = spec.schema
+
+    model = MFPModel(
+        schema, latent_dim=args.latent_dim, num_blocks=args.num_blocks,
+        attention_impl=args.attention_impl, dtype=args.dtype,
+        remat=args.remat,
+    )
+    loader = spec.make_dataset("train", batch_size=B, shuffle=True,
+                               repeat=True, drop_remainder=True)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in split_device_batch(next(iter(loader))).items()
+    }
+    params = init_params(model, batch, seed=0)
+    tx = make_optimizer(1e-4)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0)
+    )
+    tc = make_task_config(schema, "elem_pos_attr_img_txt")
+
+    def timed(fn, *fn_args):
+        """ms/iter of fn bundled in a scan with per-iteration key variation.
+
+        The scan carry ACCUMULATES the segment's result — a `*0` trick gets
+        algebraically simplified and the whole segment dead-code-eliminated
+        (observed: a "0.8 ms" full step).  The key is folded with the carry
+        so no iteration's work can be hoisted out of the loop.
+        """
+        def many(*a):
+            def body(carry, i):
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(0), i + carry.astype(jnp.int32)
+                )
+                out = fn(key, *a)
+                return carry + out.astype(jnp.float32) * 1e-6, None
+
+            c, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(args.iters)
+            )
+            return c
+
+        m = jax.jit(many)
+        float(m(*fn_args))  # compile + warm
+        t0 = time.perf_counter()
+        float(m(*fn_args))
+        return round(1000 * (time.perf_counter() - t0) / args.iters, 3)
+
+    # Segment: masking/preprocess only (task sampling + 5-way mask mux).
+    def seg_masking(key, batch):
+        tasks = sample_tasks(key, B, tc.task_probs)
+        targets, modified, masks = preprocess_for_train(
+            batch, schema, tasks, key
+        )
+        return sum(jnp.sum(m.astype(jnp.float32)) for m in masks.values())
+
+    # Segment: forward (loss value only).
+    def seg_forward(key, state, batch):
+        loss, _ = forward_train(model, state.params, batch, key, tc)
+        return loss
+
+    # Segment: forward + backward (grads reduced to one scalar).
+    def seg_grad(key, state, batch):
+        def loss_fn(p):
+            loss, _ = forward_train(model, p, batch, key, tc)
+            return loss + 1e-2 * l2_penalty(p)
+
+        g = jax.grad(loss_fn)(state.params)
+        return sum(
+            jnp.sum(x.astype(jnp.float32)[..., :1])
+            for x in jax.tree.leaves(g)
+        )
+
+    # Segment: optimizer only (clipnorm + Adam on fixed grads).
+    grads = jax.jit(jax.grad(
+        lambda p: forward_train(
+            model, p, batch, jax.random.PRNGKey(0), tc
+        )[0]
+    ))(state.params)
+
+    def seg_opt(key, state, grads):
+        # fold the key in so the scan cannot hoist the update
+        g = jax.tree.map(
+            lambda x: x + jax.random.uniform(key, ()) * 0, grads
+        )
+        updates, _ = tx.update(g, state.opt_state, state.params)
+        leaves = jax.tree.leaves(updates)
+        return sum(jnp.sum(x.astype(jnp.float32)[..., :1]) for x in leaves)
+
+    # Full step: the state must be CARRIED through the scan (as the trainer
+    # does) — returning only the loss would let XLA drop the whole update.
+    from flexdm_tpu.train import make_train_step
+
+    base_step = make_train_step(model, tc, tx, l2=1e-2)
+
+    def timed_full():
+        def many(state, batch):
+            def body(st, i):
+                st2, metrics = base_step(st, batch, jax.random.PRNGKey(0))
+                return st2, None
+
+            st, _ = jax.lax.scan(body, state, jnp.arange(args.iters - 1))
+            _, metrics = base_step(st, batch, jax.random.PRNGKey(0))
+            return metrics["loss"]
+
+        m = jax.jit(many)
+        float(m(state, batch))
+        t0 = time.perf_counter()
+        float(m(state, batch))
+        return round(1000 * (time.perf_counter() - t0) / args.iters, 3)
+
+    out = {
+        "config": {
+            "batch_size": B, "latent_dim": args.latent_dim,
+            "num_blocks": args.num_blocks, "dtype": args.dtype,
+            "remat": args.remat, "backend": jax.default_backend(),
+        },
+        "masking_ms": timed(seg_masking, batch),
+        "forward_ms": timed(seg_forward, state, batch),
+        "forward_backward_ms": timed(seg_grad, state, batch),
+        "optimizer_ms": timed(seg_opt, state, grads),
+        "full_step_ms": timed_full(),
+    }
+    out["steps_per_sec"] = round(1000.0 / out["full_step_ms"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
