@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import flax.linen as nn
+
+from ...ops.rng import FastDropout
 import jax.numpy as jnp
 
 from ...data.schema import Schema
@@ -55,19 +57,19 @@ class CrossBlock(nn.Module):
             self.emb_size, self.num_heads, lookahead=False,
             attention_impl=self.attention_impl, name="self_attn",
         )(y, tgt_mask)
-        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = x + FastDropout(self.dropout)(y, deterministic=deterministic)
 
         y = make_layernorm("norm2")(x)
         y = MultiHeadAttention(
             self.emb_size, self.num_heads, lookahead=True,
             attention_impl=self.attention_impl, name="cross_attn",
         )(y, memory_mask, kv=memory)
-        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = x + FastDropout(self.dropout)(y, deterministic=deterministic)
 
         y = make_layernorm("norm3")(x)
         y = make_dense(2 * self.emb_size, "mlp_0")(y)
         y = make_dense(self.emb_size, "mlp_1")(nn.relu(y))
-        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return x + FastDropout(self.dropout)(y, deterministic=deterministic)
 
 
 class CrossBlocks(nn.Module):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..data.schema import MASK_VALUE, NULL_VALUE, Schema
 from .masking import get_seq_mask
+from ..ops.rng import FastDropout
 from .transformer import PositionEmbedding, keras_embed_init, make_dense
 
 CONTEXT_NAMES = (None, "id", "canvas", "length", "canvas_add")
@@ -151,7 +152,7 @@ class Encoder(nn.Module):
             seq = jnp.concatenate(data_s, axis=-1)
             seq = make_dense(self.latent_dim, "fusion_fc", self.dtype)(seq)
             seq = nn.LayerNorm(epsilon=1e-3, name="fusion_norm")(seq)
-            seq = nn.Dropout(self.dropout)(seq, deterministic=deterministic)
+            seq = FastDropout(self.dropout)(seq, deterministic=deterministic)
             canvas = None
         elif self.fusion == "flat":
             # (B, S, F, D) -> (B, S*F, D): one token per (element, field).

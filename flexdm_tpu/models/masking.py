@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.schema import MASK_VALUE, NULL_VALUE, ColumnSpec, Schema
+from ..ops import rng as fast_rng
 
 Arrays = Dict[str, jnp.ndarray]
 
@@ -74,7 +75,7 @@ def apply_token(
         elif token_type == "unused":
             token = jnp.asarray(column.null_token_id, dtype=x.dtype)
         else:
-            token = jax.random.randint(key, x.shape, 0, column.input_dim, x.dtype)
+            token = fast_rng.randint(key, x.shape, 0, column.input_dim, x.dtype)
         return jnp.where(m, token, x)
     else:
         if token_type == "masked":
@@ -82,7 +83,7 @@ def apply_token(
         elif token_type == "unused":
             token = jnp.asarray(NULL_VALUE, dtype=x.dtype)
         else:
-            token = 0.1 * jax.random.normal(key, x.shape, dtype=x.dtype)
+            token = 0.1 * fast_rng.normal(key, x.shape, dtype=x.dtype)
         return jnp.where(m, token, x)
 
 
@@ -152,9 +153,9 @@ def random_masking(
             continue
         k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, i), 4)
         shape = x.shape[:2]  # (B, S)
-        mfp_mask = seq_mask & (jax.random.uniform(k1, shape) < mask_prob)
-        chg_mask = mfp_mask & (jax.random.uniform(k2, shape) < change_prob)
-        rand_arr = jax.random.uniform(k3, shape)
+        mfp_mask = seq_mask & (fast_rng.uniform(k1, shape) < mask_prob)
+        chg_mask = mfp_mask & (fast_rng.uniform(k2, shape) < change_prob)
+        rand_arr = fast_rng.uniform(k3, shape)
         y = apply_token(x, column, chg_mask & (rand_arr >= thresh), "masked")
         y = apply_token(y, column, chg_mask & (rand_arr < thresh), "random", k4)
         out[column.name] = y
@@ -351,10 +352,10 @@ def preprocess_for_train(
         # MLM randoms for the implicit task (reference masking.py:249-263).
         k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(k_random, i), 4)
         mlm_mask = seq_mask & (
-            jax.random.uniform(k1, seq_mask.shape) < MASK_PROB
+            fast_rng.uniform(k1, seq_mask.shape) < MASK_PROB
         )
-        chg = mlm_mask & (jax.random.uniform(k2, seq_mask.shape) < change_prob)
-        rand_arr = jax.random.uniform(k3, seq_mask.shape)
+        chg = mlm_mask & (fast_rng.uniform(k2, seq_mask.shape) < change_prob)
+        rand_arr = fast_rng.uniform(k3, seq_mask.shape)
 
         mask_tok = jnp.where(
             is_random, chg & (rand_arr >= thresh), variant_mask

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
+from ..ops.rng import FastDropout
 
 dense_kernel_init = nn.initializers.glorot_uniform()
 
@@ -58,7 +59,7 @@ class PositionEmbedding(nn.Module):
         )
         emb = table[None, :seq_len, :]
         emb = jnp.broadcast_to(emb, (batch, seq_len, self.output_dim))
-        return nn.Dropout(self.dropout)(emb, deterministic=deterministic)
+        return FastDropout(self.dropout)(emb, deterministic=deterministic)
 
 
 class MultiHeadAttention(nn.Module):
@@ -145,13 +146,13 @@ class TransformerBlock(_BlockBase):
     @nn.compact
     def __call__(self, x, key_mask=None, z=None, deterministic=True):
         y = self._attn()(x, key_mask)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout)(y, deterministic=deterministic)
         x = self._norm("norm1")(x + y)
         if self.conditional:
             zc = make_dense(self.emb_size, "conditional", self.dtype)(z)[:, None, :]
             x = self._norm("norm3")(x + zc)
         y = self._mlp(x)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout)(y, deterministic=deterministic)
         return self._norm("norm2")(x + y)
 
 
@@ -162,13 +163,13 @@ class DeepSVGBlock(_BlockBase):
     def __call__(self, x, key_mask=None, z=None, deterministic=True):
         y = self._norm("norm1")(x)
         y = self._attn()(y, key_mask)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout)(y, deterministic=deterministic)
         x = x + y
         if self.conditional:
             x = x + make_dense(self.emb_size, "conditional", self.dtype)(z)[:, None, :]
         y = self._norm("norm2")(x)
         y = self._mlp(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout)(y, deterministic=deterministic)
         return x + y
 
 

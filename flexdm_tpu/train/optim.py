@@ -75,10 +75,18 @@ def l2_penalty(params) -> jnp.ndarray:
         for path, _ in leaves
         if _path_key(path[-1]) == "scale"
     }
-    total = jnp.asarray(0.0, dtype=jnp.float32)
+    kept = []
     for path, leaf in leaves:
         keys = tuple(_path_key(e) for e in path)
         if keys[:-1] in norm_parents and keys[-1] in ("scale", "bias"):
             continue
-        total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
-    return total
+        kept.append(leaf.astype(jnp.float32).reshape(-1))
+    if not kept:
+        return jnp.asarray(0.0, dtype=jnp.float32)
+    # One reduction over the concatenated vector instead of one tiny kernel
+    # per leaf: the per-leaf form costs ~5 us of launch overhead times ~120
+    # leaves (measured 0.68 ms of the 10 ms flagship step); this is one
+    # copy + one reduce, and its backward is slice-views fused into the
+    # 2*l2*w gradient adds.
+    flat = kept[0] if len(kept) == 1 else jnp.concatenate(kept)
+    return jnp.sum(jnp.square(flat))
