@@ -18,4 +18,20 @@ Design stance (vs. the TF2-eager reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    # Some images pin jax_platforms from sitecustomize (e.g. a TPU plugin),
+    # which silently overrides the standard JAX_PLATFORMS env var and sends
+    # "CPU-only" runs through the TPU's slow remote-compile path.  Restore
+    # the documented env-var contract; a no-op when the backend is already
+    # initialized or the config already agrees.
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already in use
+        pass
+
 from . import data  # noqa: F401

@@ -141,62 +141,119 @@ def compute_mfp_loss(
         )
 
     seq_mask = get_seq_mask(y_true["length"], schema.max_length)
-    seq_w = seq_mask[..., None].astype(jnp.float32)
+    S = seq_mask.shape[1]
+    seq_w = seq_mask.astype(jnp.float32)[..., None]  # (B, S, 1)
 
-    loss_total = jnp.asarray(0.0, dtype=jnp.float32)
-    score_total = jnp.asarray(0.0, dtype=jnp.float32)
-    metrics: Dict[str, jnp.ndarray] = {}
+    modeled = [
+        c for c in schema.columns if c.is_sequence and not c.demo_only
+    ]
 
-    for column in schema.columns:
-        name = column.name
-        # Canvas columns are not predicted by the MFP task
-        # (reference metrics.py:226-227, predict_context=False).
-        if column.demo_only or not column.is_sequence:
-            continue
-
-        # Score in float32 regardless of the model compute dtype.
-        prediction = y_pred[name][:, : seq_mask.shape[1]].astype(jnp.float32)
-        if column.is_categorical:
-            labels = y_true[name].astype(jnp.int32)
-            loss, score = categorical_loss_and_score(labels, prediction)
-        else:
-            loss, score = continuous_loss_and_score(y_true[name], prediction)
-            loss = loss[..., None] * float(column.shape[-1])
-            score = score[..., None]
-
-        mfp_w = masks[name][..., None].astype(jnp.float32)  # (B, S, 1)
-        loss = loss * mfp_w
-        score = score * mfp_w
-        den = jnp.broadcast_to(mfp_w, loss.shape)
-
+    def field_weight(column):
+        """mfp mask x loss_condition x padding -> (B, S, 1) float32."""
+        w = masks[column.name][..., None].astype(jnp.float32)
         if column.loss_condition is not None:
             cond = column.loss_condition
             table = jnp.asarray(cond.mask, dtype=jnp.float32)
-            w = table[y_true[cond.key].astype(jnp.int32)]  # (B, S, 1)
-            loss = loss * w
-            score = score * w
-            den = den * w
+            w = w * table[y_true[cond.key].astype(jnp.int32)]
+        return w * seq_w
 
-        loss = jnp.sum(loss * seq_w, axis=1)  # sum timesteps -> (B, C)
-        score = jnp.sum(score * seq_w, axis=1)
-        den = jnp.sum(den * seq_w, axis=1)
+    # --- Categorical columns, vocab-bucketed ------------------------------
+    # The per-column form costs ~10 small kernels per column (log_softmax,
+    # gather, three weighting passes, staged reductions) — measured ~1.1 ms
+    # of an ~8 ms flagship step, almost all launch overhead.  Columns whose
+    # vocabularies pad to the same size are stacked on a channel axis and
+    # scored by ONE log_softmax/gather/argmax over (B, S, G, Vpad); -1e9
+    # logit padding leaves logsumexp, the gathered label logit, and argmax
+    # bit-exact vs the unpadded computation (exp underflows to 0 exactly).
+    # Per-field metric tensors are slices of the grouped result, so the
+    # epoch scan's DCE still strips everything but the total loss.
+    def pad_vocab(v: int) -> int:
+        for level in (8, 16, 32, 64, 128, 256, 512, 1024):
+            if v <= level:
+                return level
+        return v
 
-        loss = jnp.sum(loss, axis=1)  # sum channels -> (B,)
-        score = jnp.sum(score, axis=1)
-        den = jnp.sum(den, axis=1)
+    buckets: Dict[int, list] = {}
+    for column in modeled:
+        if column.is_categorical:
+            buckets.setdefault(pad_vocab(column.input_dim), []).append(column)
 
-        if sample_weight is not None:
-            w = sample_weight.astype(jnp.float32)
-            loss = loss * w
-            score = score * w
-            den = den * w
+    # Per-column (B, S, C) pieces, all already weighted where applicable.
+    col_loss: Dict[str, jnp.ndarray] = {}
+    col_score: Dict[str, jnp.ndarray] = {}
+    col_den: Dict[str, jnp.ndarray] = {}
+    loss_vec = jnp.zeros(seq_mask.shape[0], dtype=jnp.float32)  # (B,)
 
-        field_loss = jnp.mean(loss)  # average batch
-        score_num = jnp.sum(score)
-        score_den = jnp.sum(den)
+    for padV, cols in sorted(buckets.items()):
+        logits, labels, weights = [], [], []
+        for c in cols:
+            pred = y_pred[c.name][:, :S].astype(jnp.float32)  # (B,S,C,V)
+            if pred.shape[-1] < padV:
+                pred = jnp.pad(
+                    pred,
+                    [(0, 0)] * (pred.ndim - 1) + [(0, padV - pred.shape[-1])],
+                    constant_values=-1e9,
+                )
+            logits.append(pred)
+            labels.append(y_true[c.name].astype(jnp.int32))
+            weights.append(
+                jnp.broadcast_to(field_weight(c), labels[-1].shape)
+            )
+        logits = jnp.concatenate(logits, axis=2)  # (B, S, G, padV)
+        labels_g = jnp.concatenate(labels, axis=2)  # (B, S, G)
+        w_g = jnp.concatenate(weights, axis=2)  # (B, S, G)
+        ce, hit = categorical_loss_and_score(labels_g, logits)
+        ce_w = ce * w_g
+        loss_vec = loss_vec + jnp.sum(
+            ce_w.reshape(ce_w.shape[0], -1), axis=1
+        )
+        offset = 0
+        for c, lab in zip(cols, labels):
+            C = lab.shape[2]
+            sl = slice(offset, offset + C)
+            col_loss[c.name] = ce_w[:, :, sl]
+            col_score[c.name] = hit[:, :, sl] * w_g[:, :, sl]
+            col_den[c.name] = w_g[:, :, sl]
+            offset += C
+
+    # --- Numerical columns (few; kept per-column) --------------------------
+    for column in modeled:
+        if column.is_categorical:
+            continue
+        name = column.name
+        prediction = y_pred[name][:, :S].astype(jnp.float32)
+        mse, score = continuous_loss_and_score(y_true[name], prediction)
+        w = field_weight(column)  # (B, S, 1)
+        col_loss[name] = mse[..., None] * float(column.shape[-1]) * w
+        col_score[name] = score[..., None] * w
+        col_den[name] = w
+        loss_vec = loss_vec + jnp.sum(
+            col_loss[name].reshape(mse.shape[0], -1), axis=1
+        )
+
+    sw = (
+        sample_weight.astype(jnp.float32)
+        if sample_weight is not None
+        else None
+    )
+    if sw is not None:
+        loss_vec = loss_vec * sw
+    loss_total = jnp.mean(loss_vec)
+
+    score_total = jnp.asarray(0.0, dtype=jnp.float32)
+    metrics: Dict[str, jnp.ndarray] = {}
+    for column in modeled:
+        name = column.name
+
+        def per_sample(x):  # (B, S, C) -> (B,)
+            v = jnp.sum(x.reshape(x.shape[0], -1), axis=1)
+            return v * sw if sw is not None else v
+
+        field_loss = jnp.mean(per_sample(col_loss[name]))
+        score_num = jnp.sum(per_sample(col_score[name]))
+        score_den = jnp.sum(per_sample(col_den[name]))
         normalized = jnp.where(score_den == 0.0, 1.0, score_num / score_den)
 
-        loss_total = loss_total + field_loss
         score_total = score_total + normalized
         metrics[f"{name}_loss"] = field_loss
         metrics[f"{name}_score"] = normalized
