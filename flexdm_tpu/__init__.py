@@ -20,17 +20,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if "JAX_PLATFORMS" in _os.environ:
-    # Some images pin jax_platforms from sitecustomize (e.g. a TPU plugin),
-    # which silently overrides the standard JAX_PLATFORMS env var and sends
-    # "CPU-only" runs through the TPU's slow remote-compile path.  Restore
-    # the documented env-var contract; a no-op when the backend is already
-    # initialized or the config already agrees.
+if _os.environ.get("FLEXDM_PLATFORM"):
+    # Deterministic platform override for CLI/scripted runs.  The standard
+    # JAX_PLATFORMS env var cannot serve this role on images whose
+    # sitecustomize exports it (e.g. a preloaded TPU plugin): user intent is
+    # indistinguishable from the image default there.  FLEXDM_PLATFORM=cpu
+    # forces the CPU backend for fast local verification; a no-op when the
+    # backend was already initialized by the caller.
     try:
         import jax as _jax
 
-        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
-            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", _os.environ["FLEXDM_PLATFORM"])
     except Exception:  # pragma: no cover - backend already in use
         pass
 

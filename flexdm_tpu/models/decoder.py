@@ -19,22 +19,7 @@ import jax.numpy as jnp
 
 from ..data.schema import Schema
 from .masking import get_seq_mask
-from .transformer import dense_kernel_init, make_dense
-
-
-class DenseParams(nn.Module):
-    """Kernel/bias parameters with nn.Dense's exact tree layout, exposed
-    for fused (concatenated) application by the parent module."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param(
-            "kernel", dense_kernel_init, (in_features, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
+from .transformer import DenseParams, make_dense
 
 
 class Decoder(nn.Module):

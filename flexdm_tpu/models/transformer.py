@@ -45,6 +45,21 @@ def make_layernorm(name: Optional[str] = None, dtype=None) -> nn.LayerNorm:
     return nn.LayerNorm(epsilon=1e-3, name=name, dtype=dtype)
 
 
+class DenseParams(nn.Module):
+    """Kernel/bias parameters with nn.Dense's exact tree layout, exposed
+    for fused (concatenated) application by the parent module."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", dense_kernel_init, (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class PositionEmbedding(nn.Module):
     """Learned positional table + dropout (reference transformer.py:5-30)."""
 
@@ -95,9 +110,31 @@ class MultiHeadAttention(nn.Module):
         def split_heads(t, s):
             return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split_heads(make_dense(self.emb_size, "query", self.dtype)(x), s_q)
-        k = split_heads(make_dense(self.emb_size, "key", self.dtype)(source), s_kv)
-        v = split_heads(make_dense(self.emb_size, "value", self.dtype)(source), s_kv)
+        if kv is None:
+            # Self-attention: Q/K/V share the input, so the three (D, D)
+            # projections concatenate into ONE (D, 3D) matmul.  Parameters
+            # keep the per-projection nn.Dense tree layout (query/key/value)
+            # for checkpoint-converter parity; they are concatenated at
+            # apply time like the fused decoder heads.
+            kbs = [
+                DenseParams(self.emb_size, name=name)(self.emb_size)
+                for name in ("query", "key", "value")
+            ]
+            kernel = jnp.concatenate([w for w, _ in kbs], axis=1)
+            bias = jnp.concatenate([c for _, c in kbs], axis=0)
+            if self.dtype is not None:
+                kernel = kernel.astype(self.dtype)
+                bias = bias.astype(self.dtype)
+                x = x.astype(self.dtype)
+            qkv = x @ kernel + bias
+            q, k, v = (
+                split_heads(t, s_q)
+                for t in jnp.split(qkv, 3, axis=-1)
+            )
+        else:
+            q = split_heads(make_dense(self.emb_size, "query", self.dtype)(x), s_q)
+            k = split_heads(make_dense(self.emb_size, "key", self.dtype)(source), s_kv)
+            v = split_heads(make_dense(self.emb_size, "value", self.dtype)(source), s_kv)
 
         o = dot_product_attention(
             q,
