@@ -143,23 +143,34 @@ def random_masking(
     change_prob = 1.0 - unchange_prob
     thresh = replace_prob / change_prob if change_prob > 0 else 0.0
 
+    # One fused draw for every column's three (B, S) uniforms (select /
+    # change / replace-vs-mask) instead of ~3 kernels per column.  The batch
+    # axis LEADS so each sample's stream is independent of the batch size
+    # (rbg bits are positional over the flattened array; a sample's offset
+    # must not involve B) — evaluate_split relies on padded batches
+    # reproducing the unpadded rows bit-for-bit.
+    n_seq = sum(1 for c in schema.modeled if c.is_sequence)
+    B, S = seq_mask.shape
+    draws = fast_rng.uniform(key, (B, 3, n_seq, S))
+
     out: Arrays = {}
     masks: Arrays = {}
+    si = 0
     for i, column in enumerate(schema.modeled):
         x = inputs[column.name]
         if not column.is_sequence:
             out[column.name] = x
             masks[column.name] = jnp.ones((x.shape[0],), dtype=bool)
             continue
-        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, i), 4)
-        shape = x.shape[:2]  # (B, S)
-        mfp_mask = seq_mask & (fast_rng.uniform(k1, shape) < mask_prob)
-        chg_mask = mfp_mask & (fast_rng.uniform(k2, shape) < change_prob)
-        rand_arr = fast_rng.uniform(k3, shape)
+        mfp_mask = seq_mask & (draws[:, 0, si] < mask_prob)
+        chg_mask = mfp_mask & (draws[:, 1, si] < change_prob)
+        rand_arr = draws[:, 2, si]
+        k4 = jax.random.fold_in(key, i)
         y = apply_token(x, column, chg_mask & (rand_arr >= thresh), "masked")
         y = apply_token(y, column, chg_mask & (rand_arr < thresh), "random", k4)
         out[column.name] = y
         masks[column.name] = mfp_mask
+        si += 1
     return out, masks
 
 
@@ -332,8 +343,14 @@ def preprocess_for_train(
     change_prob = 1.0 - UNCHANGE_PROB
     thresh = REPLACE_PROB / change_prob
 
+    n_seq = sum(1 for c in schema.modeled if c.is_sequence)
+    draws = fast_rng.uniform(
+        k_random, (seq_mask.shape[0], 3, n_seq, seq_mask.shape[1])
+    )
+
     modified: Arrays = {}
     masks: Arrays = {}
+    si = 0
     for i, column in enumerate(schema.modeled):
         name = column.name
         if not column.is_sequence:
@@ -349,13 +366,12 @@ def preprocess_for_train(
                     (tasks == g + 2)[:, None], seq_mask, variant_mask
                 )
 
-        # MLM randoms for the implicit task (reference masking.py:249-263).
-        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(k_random, i), 4)
-        mlm_mask = seq_mask & (
-            fast_rng.uniform(k1, seq_mask.shape) < MASK_PROB
-        )
-        chg = mlm_mask & (fast_rng.uniform(k2, seq_mask.shape) < change_prob)
-        rand_arr = fast_rng.uniform(k3, seq_mask.shape)
+        # MLM randoms for the implicit task (reference masking.py:249-263),
+        # sliced from the one fused per-step draw.
+        mlm_mask = seq_mask & (draws[:, 0, si] < MASK_PROB)
+        chg = mlm_mask & (draws[:, 1, si] < change_prob)
+        rand_arr = draws[:, 2, si]
+        k4 = jax.random.fold_in(k_random, i)
 
         mask_tok = jnp.where(
             is_random, chg & (rand_arr >= thresh), variant_mask
@@ -366,6 +382,7 @@ def preprocess_for_train(
         y = apply_token(y, column, rand_tok, "random", k4)
         modified[name] = y
         masks[name] = jnp.where(is_random, mlm_mask, variant_mask)
+        si += 1
 
     modified["task"] = tasks[:, None]
     return inputs, modified, masks
