@@ -123,37 +123,55 @@ def measure_train(
     }
 
 
-def measure_eval(spec, batch_size=256, batches=20):
-    """Eval-harness steady-state throughput: docs/sec of the 'pos' step
-    (the jitted forward+metrics the harness runs per batch, fetch-barriered
-    exactly like the harness does)."""
-    import jax
+def measure_eval(spec, batch_size=256, repeats=3, test_docs=2048):
+    """End-to-end eval-harness throughput: docs/sec of a full 'pos' task
+    over a device-resident split (the harness's bundled scan path — one
+    compiled program, one host fetch per task run)."""
     import jax.numpy as jnp
-    import numpy as np
 
-    from flexdm_tpu.data import split_device_batch
-    from flexdm_tpu.evaluation.harness import _group_masks, make_eval_step
+    from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
+    from flexdm_tpu.evaluation.harness import evaluate_task
     from flexdm_tpu.models import MFPModel
     from flexdm_tpu.train import init_params
 
-    model = MFPModel(spec.schema, latent_dim=256, num_blocks=4)
+    cache = os.path.join(tempfile.gettempdir(), f"flexdm_bench_eval_{test_docs}")
+    if not os.path.exists(os.path.join(cache, "count.json")):
+        synthetic.generate("crello", cache, 64, 16, test_docs, seed=0)
+    espec = DatasetSpec("crello", cache, batch_size=batch_size)
+
+    model = MFPModel(espec.schema, latent_dim=256, num_blocks=4)
     batch = {
         k: jnp.asarray(v)
         for k, v in split_device_batch(
-            next(iter(spec.make_dataset("test", batch_size=batch_size)))
+            next(iter(espec.make_dataset("test", batch_size=batch_size)))
         ).items()
     }
     params = init_params(model, batch, seed=0)
-    groups = spec.schema.attribute_groups
-    masks = _group_masks(spec.schema, batch, groups["pos"])
-    step, _ = make_eval_step(model, num_iter=1, sort=False)
-    w = jnp.ones((batch_size,), jnp.float32)
-    np.asarray(step(params, batch, masks, w))  # compile
+    groups = espec.schema.attribute_groups
+
+    # The split uploads once (evaluate_all shares one cache across tasks);
+    # per-task throughput is the steady-state metric.
+    from flexdm_tpu.data.pipeline import DeviceDataCache
+
+    dcache = DeviceDataCache(
+        espec.make_dataset("test", batch_size=batch_size)
+    )
+
+    def run():
+        loader = espec.make_dataset("test", batch_size=batch_size)
+        return evaluate_task(
+            model, params, loader, "pos", ("pos", groups["pos"]),
+            cache=dcache,
+        )
+
+    run()  # compile
     t0 = time.perf_counter()
-    for _ in range(batches):
-        np.asarray(step(params, batch, masks, w))  # fetch = barrier
+    for _ in range(repeats):
+        run()
     elapsed = time.perf_counter() - t0
-    return {"eval_docs_per_sec": round(batches * batch_size / elapsed, 1)}
+    return {
+        "eval_docs_per_sec": round(repeats * test_docs / elapsed, 1)
+    }
 
 
 def measure_attention_s512():
