@@ -123,10 +123,12 @@ def measure_train(
     }
 
 
-def measure_eval(spec, batch_size=256, repeats=3, test_docs=2048):
+def measure_eval(batch_size=256, repeats=3, test_docs=2048):
     """End-to-end eval-harness throughput: docs/sec of a full 'pos' task
     over a device-resident split (the harness's bundled scan path — one
-    compiled program, one host fetch per task run)."""
+    compiled program, one host fetch per task run).  Uses its own synthetic
+    dataset with a ``test_docs``-sized test split (the train-bench spec's
+    test split is too small to be meaningful)."""
     import jax.numpy as jnp
 
     from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
@@ -272,7 +274,7 @@ def main() -> None:
                 "scaled_d512x8_steps_per_sec": measure_train(
                     spec, batch_size, 512, 8, max(steps // 2, 5),
                 )["steps_per_sec"]}),
-            ("eval", lambda: measure_eval(spec)),
+            ("eval", measure_eval),
             ("attn", measure_attention_s512),
         ):
             try:

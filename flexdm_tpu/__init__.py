@@ -31,7 +31,13 @@ if _os.environ.get("FLEXDM_PLATFORM"):
         import jax as _jax
 
         _jax.config.update("jax_platforms", _os.environ["FLEXDM_PLATFORM"])
-    except Exception:  # pragma: no cover - backend already in use
-        pass
+    except Exception as _e:  # pragma: no cover - backend already in use
+        import warnings as _warnings
+
+        _warnings.warn(
+            "FLEXDM_PLATFORM=%r could not be applied (%s); the process "
+            "keeps the already-initialized JAX backend"
+            % (_os.environ["FLEXDM_PLATFORM"], _e)
+        )
 
 from . import data  # noqa: F401

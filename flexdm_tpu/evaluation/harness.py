@@ -324,6 +324,8 @@ def evaluate_task(
     ``cache``: a prebuilt :class:`DeviceDataCache` of the split, so a
     multi-task run (``all_feat``) uploads the split once.
     """
+    if loader.num_records == 0:
+        return {}
     if resident is None:
         resident = cache is not None or _split_fits_resident(loader)
     if not resident or (task_mode == "elem" and mesh is not None):
@@ -523,10 +525,19 @@ def evaluate_all(
     def loader():
         return spec.make_dataset(split, batch_size=batch_size)
 
+    # Upload the split once; every task's scan gathers from the same cache.
+    cache = None
+    first = loader()
+    if first.num_records and _split_fits_resident(first):
+        from ..data.pipeline import DeviceDataCache
+
+        cache = DeviceDataCache(first)
+
     ans_all: Dict[str, Dict[str, float]] = {}
     if task_mode in ("elem", "random"):
         ans_all["all"] = evaluate_task(
-            model, params, loader(), task_mode, None, num_iter, mesh=mesh
+            model, params, loader(), task_mode, None, num_iter, mesh=mesh,
+            cache=cache,
         )
     elif task_mode == "all_feat":
         for name, keys in groups.items():
@@ -534,12 +545,13 @@ def evaluate_all(
                 continue
             ans_all[name] = evaluate_task(
                 model, params, loader(), name, (name, keys), num_iter,
-                mesh=mesh,
+                mesh=mesh, cache=cache,
             )
     else:
         group = (task_mode, groups[task_mode])
         ans_all[task_mode] = evaluate_task(
-            model, params, loader(), task_mode, group, num_iter, mesh=mesh
+            model, params, loader(), task_mode, group, num_iter, mesh=mesh,
+            cache=cache,
         )
     return ans_all
 

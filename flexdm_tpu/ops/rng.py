@@ -11,9 +11,14 @@ the helpers here: the key arriving at the call site is an ordinary threefry
 key (cheap to split/fold, well-mixed), and only the final array draw converts
 it to an rbg key.
 
-Determinism is unchanged — rbg draws are a pure function of the key — so
-same-seed training trajectories stay bit-identical (tests
-``tests/test_reproducibility.py``).  Statistical contracts (uniformity,
+Determinism within one environment is unchanged — rbg draws are a pure
+function of the key for a fixed backend and XLA version — so same-seed
+training trajectories stay bit-identical on the machine that produced them
+(tests ``tests/test_reproducibility.py``).  Unlike threefry, however, the
+rbg stream is documented by JAX as backend/compiler-version dependent: do
+not expect identical draws across CPU vs TPU or across XLA upgrades (eval
+protocols are deterministic-masked, so scores do not depend on this).
+Statistical contracts (uniformity,
 Bernoulli rates, normal moments) are identical; only the concrete stream
 differs from threefry, which carries no parity burden: the reference used
 TF's own generator anyway (reference ``src/mfp/mfp/train.py:19-23`` seeds a
