@@ -205,3 +205,33 @@ def test_context_id_eval_threads_task_id(setup):
     assert any(
         abs(with_pos[k] - with_zero[k]) > 1e-6 for k in with_pos
     ), "task id had no effect on a context='id' model"
+
+
+def test_empty_split_returns_empty(setup, tmp_path):
+    """A zero-record split (legal under multi-host sharding) must score as
+    {} rather than crash in the resident-path size probe."""
+    spec, model, params = setup
+    loader = spec.make_dataset(
+        "test", batch_size=4, num_hosts=10**6, host_id=10**5
+    )
+    assert loader.num_records == 0
+    assert evaluate_task(model, params, loader, "pos",
+                         ("pos", spec.schema.attribute_groups["pos"])) == {}
+
+
+def test_evaluate_all_uploads_split_once(setup, monkeypatch):
+    """all_feat must share one DeviceDataCache across its task groups."""
+    from flexdm_tpu.data import pipeline as pipeline_mod
+
+    spec, model, params = setup
+    calls = []
+    orig = pipeline_mod.DeviceDataCache.__init__
+
+    def counting(self, loader):
+        calls.append(loader.split)
+        orig(self, loader)
+
+    monkeypatch.setattr(pipeline_mod.DeviceDataCache, "__init__", counting)
+    ans = evaluate_all(model, params, spec, "all_feat", batch_size=8)
+    assert len(ans) >= 2  # several groups evaluated...
+    assert len(calls) == 1  # ...from ONE uploaded cache
