@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..data.schema import MASK_VALUE, NULL_VALUE, ColumnSpec, Schema
-from ..ops import rng as fast_rng
 
 Arrays = Dict[str, jnp.ndarray]
 
@@ -75,7 +74,7 @@ def apply_token(
         elif token_type == "unused":
             token = jnp.asarray(column.null_token_id, dtype=x.dtype)
         else:
-            token = fast_rng.randint(key, x.shape, 0, column.input_dim, x.dtype)
+            token = jax.random.randint(key, x.shape, 0, column.input_dim, x.dtype)
         return jnp.where(m, token, x)
     else:
         if token_type == "masked":
@@ -83,7 +82,7 @@ def apply_token(
         elif token_type == "unused":
             token = jnp.asarray(NULL_VALUE, dtype=x.dtype)
         else:
-            token = 0.1 * fast_rng.normal(key, x.shape, dtype=x.dtype)
+            token = 0.1 * jax.random.normal(key, x.shape, dtype=x.dtype)
         return jnp.where(m, token, x)
 
 
@@ -145,13 +144,16 @@ def random_masking(
 
     # One fused draw for every column's three (B, S) uniforms (select /
     # change / replace-vs-mask) instead of ~3 kernels per column.  The batch
-    # axis LEADS so each sample's stream is independent of the batch size
-    # (rbg bits are positional over the flattened array; a sample's offset
-    # must not involve B) — evaluate_split relies on padded batches
-    # reproducing the unpadded rows bit-for-bit.
+    # axis LEADS so each sample's stream is independent of the batch size —
+    # evaluate_split relies on padded batches reproducing the unpadded rows
+    # bit-for-bit.  All masking draws use jax's default threefry (counter-
+    # based, hence positionally stable across the leading dim); the faster
+    # hardware rbg generator is NOT stable across shapes on TPU (measured)
+    # and is reserved for dropout, which never touches val/eval scores.
+    # Cost of threefry here: ~0.25 ms of the ~8 ms flagship step.
     n_seq = sum(1 for c in schema.modeled if c.is_sequence)
     B, S = seq_mask.shape
-    draws = fast_rng.uniform(key, (B, 3, n_seq, S))
+    draws = jax.random.uniform(key, (B, 3, n_seq, S))
 
     out: Arrays = {}
     masks: Arrays = {}
@@ -344,7 +346,7 @@ def preprocess_for_train(
     thresh = REPLACE_PROB / change_prob
 
     n_seq = sum(1 for c in schema.modeled if c.is_sequence)
-    draws = fast_rng.uniform(
+    draws = jax.random.uniform(
         k_random, (seq_mask.shape[0], 3, n_seq, seq_mask.shape[1])
     )
 

@@ -6,23 +6,28 @@ masks plus the masking layer's random-replacement tensors (two
 ``(B, S, 512)`` normals per step for the crello embedding columns) measured
 ~2 ms of a ~10 ms step.  XLA's hardware ``RngBitGenerator`` path (the
 ``"rbg"`` key implementation) generates the same streams-of-bits contract at
-near-memory speed, so every *array-shaped* draw in the hot path goes through
-the helpers here: the key arriving at the call site is an ordinary threefry
+near-memory speed: the key arriving at the call site is an ordinary threefry
 key (cheap to split/fold, well-mixed), and only the final array draw converts
 it to an rbg key.
+
+Scope: these helpers back **dropout only** (``FastDropout``), which never
+influences validation or evaluation scores (dropout is off outside
+training).  The masking layer deliberately stays on threefry: rbg bits are
+NOT positionally stable across array shapes on TPU (measured — the value at
+``[i, ...]`` of a ``(B, ...)`` draw changes with ``B``), which would break
+the exact batch-size invariance of validation scores that threefry's
+counter-based layout provides.
 
 Determinism within one environment is unchanged — rbg draws are a pure
 function of the key for a fixed backend and XLA version — so same-seed
 training trajectories stay bit-identical on the machine that produced them
-(tests ``tests/test_reproducibility.py``).  Unlike threefry, however, the
-rbg stream is documented by JAX as backend/compiler-version dependent: do
-not expect identical draws across CPU vs TPU or across XLA upgrades (eval
-protocols are deterministic-masked, so scores do not depend on this).
-Statistical contracts (uniformity,
-Bernoulli rates, normal moments) are identical; only the concrete stream
-differs from threefry, which carries no parity burden: the reference used
-TF's own generator anyway (reference ``src/mfp/mfp/train.py:19-23`` seeds a
-different RNG family altogether).
+(tests ``tests/test_reproducibility.py``).  The rbg stream is documented by
+JAX as backend/compiler-version dependent: do not expect identical draws
+across CPU vs TPU or across XLA upgrades.  Statistical contracts
+(uniformity, Bernoulli rates, normal moments) are identical; only the
+concrete stream differs from threefry, which carries no parity burden: the
+reference used TF's own generator anyway (reference
+``src/mfp/mfp/train.py:19-23`` seeds a different RNG family altogether).
 
 ``FastDropout`` is a drop-in for ``flax.linen.Dropout`` (same ``rate`` /
 ``deterministic`` / ``"dropout"`` rng-collection contract, no broadcast

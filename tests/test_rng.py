@@ -103,3 +103,17 @@ def test_dropout_same_key_same_mask():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(_Wrap(0.5)(x, deterministic=False, seed=4))
     assert not np.array_equal(a, c)
+
+
+def test_threefry_is_prefix_stable_rbg_is_not_guaranteed():
+    """The masking layer's batch-size-invariance rests on threefry's
+    counter-based layout: row i of a (B, ...) draw must not depend on B.
+    rbg carries NO such guarantee (measured unstable on TPU), which is why
+    masking draws use plain jax.random and rbg is dropout-only."""
+    k = jax.random.PRNGKey(11)
+    a = jax.random.uniform(k, (32, 3, 7, 50))
+    b = jax.random.uniform(k, (48, 3, 7, 50))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:32])
+    n1 = jax.random.normal(k, (8, 50, 512))
+    n2 = jax.random.normal(k, (12, 50, 512))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2)[:8])
