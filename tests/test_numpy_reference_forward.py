@@ -130,3 +130,87 @@ def test_flax_forward_matches_numpy_reference(request, fixture):
             np.asarray(got[name]), ref, rtol=5e-4, atol=5e-5,
             err_msg=f"column {name}",
         )
+
+
+def numpy_forward_canvas(params, modified, schema, num_heads, num_blocks):
+    """Independent NumPy forward for context='canvas': canvas-column
+    embeddings aggregate into a global token prepended to the sequence
+    (reference encoder.py:228-249), and the decoder splits it back off for
+    the canvas-level heads (reference decoder.py:74-78)."""
+    p = params["params"]
+    enc = p["encoder"]
+    S = schema.max_length
+    length = np.asarray(modified["length"]).reshape(-1)
+
+    seq, canvas = 0.0, 0.0
+    for column in schema.valid_columns(True):
+        x = np.asarray(modified[column.name])
+        if column.is_categorical:
+            table = np.asarray(enc[f"input_{column.name}"])
+            h = table[x].sum(axis=2 if column.is_sequence else 1)
+        else:
+            special = np.asarray(enc[f"input_{column.name}_special"])
+            h = dense(x, enc[f"input_{column.name}"])
+            h = np.where(np.all(x == MASK_VALUE, -1)[..., None],
+                         special[0][None, None], h)
+            h = np.where(np.all(x == NULL_VALUE, -1)[..., None],
+                         special[1][None, None], h)
+        if column.is_sequence:
+            seq = seq + h
+        else:
+            canvas = canvas + h
+
+    seq = np.concatenate([canvas[:, None, :], seq], axis=1)  # (B, S+1, D)
+    pos = np.arange(S + 1)[None, :]
+    seq_mask = pos < (length + 2)[:, None]  # canvas token + zero-based len
+
+    for i in range(num_blocks):
+        seq = deepsvg_block(seq, p["blocks"][f"seq2seq_{i}"], seq_mask, num_heads)
+
+    outputs = {}
+    B = seq.shape[0]
+    canvas_h, body = seq[:, :1], seq[:, 1:]
+    for column in schema.valid_columns(True):
+        head = p["decoder"][f"decoder_{column.name}"]
+        src = body if column.is_sequence else canvas_h
+        out = dense(src, head)
+        if column.is_categorical:
+            shape = (column.shape[-1], column.input_dim)
+        else:
+            shape = (column.shape[-1],)
+        if column.is_sequence:
+            out = out.reshape((B, -1) + shape)
+        else:
+            out = out.reshape((B,) + shape)
+        outputs[column.name] = out
+    return outputs
+
+
+@pytest.mark.parametrize("fixture", ["crello_spec"])  # rico has no canvas columns
+def test_flax_canvas_context_matches_numpy_reference(request, fixture):
+    spec = request.getfixturevalue(fixture)
+    schema = spec.schema
+    model = MFPModel(
+        schema, latent_dim=32, num_blocks=2, num_heads=4,
+        attention_impl="xla", context="canvas",
+    )
+    host = next(iter(spec.make_dataset("val", batch_size=4)))
+    batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+    params = init_params(model, batch, seed=0)
+
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    masks = get_initial_masks(schema, seq_mask)
+    masks["left"] = seq_mask
+    modified = preprocess_for_test(batch, schema, masks)
+
+    got = model.apply(params, modified, deterministic=True)
+    expect = numpy_forward_canvas(
+        jax.device_get(params), jax.device_get(modified), schema,
+        num_heads=4, num_blocks=2,
+    )
+    assert set(expect) <= set(got)
+    for name, ref in expect.items():
+        np.testing.assert_allclose(
+            np.asarray(got[name]), ref, rtol=5e-4, atol=5e-5,
+            err_msg=f"column {name}",
+        )
