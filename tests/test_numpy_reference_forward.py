@@ -214,3 +214,58 @@ def test_flax_canvas_context_matches_numpy_reference(request, fixture):
             np.asarray(got[name]), ref, rtol=5e-4, atol=5e-5,
             err_msg=f"column {name}",
         )
+
+
+def postnorm_block(x, p, mask, num_heads):
+    """Post-norm TransformerBlock (reference transformer.py:141-205)."""
+    y = attention(x, p["attn"], mask, num_heads)
+    x = layer_norm(x + y, np.asarray(p["norm1"]["scale"]),
+                   np.asarray(p["norm1"]["bias"]))
+    y = dense(x, p["mlp_0"])
+    y = np.maximum(y, 0.0)
+    y = dense(y, p["mlp_1"])
+    return layer_norm(x + y, np.asarray(p["norm2"]["scale"]),
+                      np.asarray(p["norm2"]["bias"]))
+
+
+def test_flax_postnorm_block_matches_numpy(crello_spec):
+    """block_type='transformer' (post-norm) wiring vs independent NumPy."""
+    schema = crello_spec.schema
+    model = MFPModel(
+        schema, latent_dim=32, num_blocks=2, num_heads=4,
+        attention_impl="xla", block_type="transformer",
+    )
+    host = next(iter(crello_spec.make_dataset("val", batch_size=4)))
+    batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+    params = init_params(model, batch, seed=0)
+
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    masks = get_initial_masks(schema, seq_mask)
+    masks["top"] = seq_mask
+    modified = preprocess_for_test(batch, schema, masks)
+    got = model.apply(params, modified, deterministic=True)
+
+    # Reuse the default-mode oracle but swap the block function.
+    p = jax.device_get(params)["params"]
+    md = jax.device_get(modified)
+    sm = np.asarray(seq_mask)
+    seq = 0.0
+    for column in schema.valid_columns():
+        x = np.asarray(md[column.name])
+        if column.is_categorical:
+            seq = seq + np.asarray(p["encoder"][f"input_{column.name}"])[x].sum(axis=2)
+        else:
+            e = p["encoder"]
+            special = np.asarray(e[f"input_{column.name}_special"])
+            h = dense(x, e[f"input_{column.name}"])
+            h = np.where(np.all(x == MASK_VALUE, -1)[..., None],
+                         special[0][None, None], h)
+            h = np.where(np.all(x == NULL_VALUE, -1)[..., None],
+                         special[1][None, None], h)
+            seq = seq + h
+    for i in range(2):
+        seq = postnorm_block(seq, p["blocks"][f"seq2seq_{i}"], sm, 4)
+    ref = dense(seq, p["decoder"]["decoder_top"]).reshape(4, -1, 1, 64)
+    np.testing.assert_allclose(
+        np.asarray(got["top"]), ref, rtol=5e-4, atol=5e-5
+    )
