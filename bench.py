@@ -40,16 +40,9 @@ import time
 
 
 def _spec(batch_size):
-    from flexdm_tpu.data import DatasetSpec, synthetic
+    from flexdm_tpu.data import synthetic
 
-    cache = os.path.join(
-        tempfile.gettempdir(), f"flexdm_bench_crello_{batch_size}"
-    )
-    if not os.path.exists(os.path.join(cache, "count.json")):
-        synthetic.generate(
-            "crello", cache, max(batch_size, 64), 16, 16, seed=0
-        )
-    return DatasetSpec("crello", cache, batch_size=batch_size)
+    return synthetic.cached_spec("crello", batch_size)
 
 
 def measure_train(
@@ -198,8 +191,18 @@ def measure_attention_s512():
 
         def many(q, k, v):
             def body(c, i):
-                gq, _, _ = jax.grad(loss, argnums=(0, 1, 2))(q + c * 0, k, v)
-                return c + jnp.sum(gq[0, 0, 0, :1]), None
+                # Perturb q by a tiny NONZERO amount of the carry so no
+                # iteration can be hoisted, and consume ALL THREE gradients
+                # so the dk/dv computation is not dead-code-eliminated.
+                gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(
+                    q + c * 1e-30, k, v
+                )
+                return (
+                    c
+                    + jnp.sum(gq[0, 0, 0, :1])
+                    + jnp.sum(gk[0, 0, 0, :1]) * 1e-9
+                    + jnp.sum(gv[0, 0, 0, :1]) * 1e-9
+                ), None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
             return c

@@ -67,6 +67,11 @@ class DataLoader:
         payloads: List[bytes] = []
         for shard in shards:
             payloads.extend(tfrecord.read_records(shard, verify_crc=verify_crc))
+        # Pre-shard global count: hosts need it to agree on a common
+        # steps-per-epoch (shard sizes differ by up to 1 record, and every
+        # host must run the SAME number of SPMD steps or collectives
+        # deadlock).
+        self.global_num_records = len(payloads)
         if num_hosts > 1:
             payloads = payloads[host_id::num_hosts]
         self._payloads = payloads

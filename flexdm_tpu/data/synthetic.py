@@ -205,3 +205,25 @@ def generate(
     with open(os.path.join(out_dir, "vocabulary.json"), "w") as f:
         json.dump(vocab, f)
     return out_dir
+
+
+def cached_spec(dataset: str = "crello", batch_size: int = 256,
+                train: int | None = None, val: int = 16, test: int = 16,
+                seed: int = 0):
+    """Synthetic DatasetSpec cached under the system tempdir.
+
+    Shared by bench.py and tools/profile_step.py so both measure the same
+    generated pool (cache key = dataset + batch size).
+    """
+    import os
+    import tempfile
+
+    from .spec import DatasetSpec
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"flexdm_bench_{dataset}_{batch_size}"
+    )
+    if not os.path.exists(os.path.join(cache, "count.json")):
+        generate(dataset, cache, train or max(batch_size, 64), val, test,
+                 seed=seed)
+    return DatasetSpec(dataset, cache, batch_size=batch_size)

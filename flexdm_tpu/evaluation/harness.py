@@ -291,8 +291,9 @@ def _batches(loader, mesh=None) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndar
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
-            batch = mesh_lib.shard_batch(batch, mesh)
-            w = jax.device_put(w, mesh_lib.batch_sharding(mesh))
+            # eval batches exist in full on every host
+            batch = mesh_lib.shard_global_batch(batch, mesh)
+            w = mesh_lib.shard_global_batch(w, mesh)
         yield batch, w
 
 

@@ -62,14 +62,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
-    """Device-put a host batch with the leading axis sharded over `data`.
+    """Place a host batch with the leading axis sharded over ``data``.
 
-    The global batch size must divide the data-axis size.
+    Single-process: a plain ``device_put``.  Multi-process: each process
+    passes its LOCAL slice of the global batch (the trainer gives every
+    host a disjoint 1-in-N record stride) and the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — a ``device_put``
+    against a multi-host sharding would wrongly treat the local slice as
+    the full global value.  The global batch size must divide the
+    data-axis size.
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def shard_global_batch(tree, mesh: Mesh):
+    """Place a batch whose FULL content exists on every host (validation /
+    test batches) with the leading axis sharded over ``data``.
+
+    Single-process this is :func:`shard_batch`; multi-process each host
+    contributes only its own row-slice of the globally-identical value.
+    Accepts a dict or a bare array.
+    """
+    if jax.process_count() <= 1:
+        sharding = batch_sharding(mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    n, pid = jax.process_count(), jax.process_index()
+    sharding = batch_sharding(mesh)
+
+    def place(x):
+        b = x.shape[0] // n
+        return jax.make_array_from_process_local_data(
+            sharding, x[pid * b : (pid + 1) * b]
+        )
+
+    return jax.tree.map(place, tree)
 
 
 def replicate(tree, mesh: Mesh):

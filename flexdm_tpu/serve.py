@@ -181,7 +181,14 @@ def make_handler(engine: InferenceEngine):
             logger.info("%s " + fmt, self.address_string(), *args)
 
         def _send(self, code: int, payload: Dict):
-            body = json.dumps(payload).encode()
+            try:
+                # allow_nan=False: bare NaN/Infinity tokens are not JSON and
+                # break strict client parsers; surface a clean 500 instead.
+                body = json.dumps(payload, allow_nan=False).encode()
+            except ValueError:
+                payload = {"error": "non-finite value in prediction"}
+                code = 500
+                body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

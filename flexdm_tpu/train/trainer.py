@@ -159,6 +159,22 @@ def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int):
     return model.init(rngs, modified, batch, masks, deterministic=False)
 
 
+def _steps_per_epoch(train_loader, batch_size: int) -> int:
+    """Steps every host runs per epoch.
+
+    The train loader drops remainder batches (floor); under multi-host
+    sharding the per-host shards differ by up to one record, so the step
+    count derives from the smallest shard (``global // num_hosts``) — every
+    process must execute the same number of SPMD steps or the gradient
+    collectives deadlock.
+    """
+    min_shard = (
+        getattr(train_loader, "global_num_records", train_loader.num_records)
+        // max(train_loader.num_hosts, 1)
+    )
+    return max(min_shard // batch_size, 1)
+
+
 def make_train_step(
     model: MFPModel,
     task_config,
@@ -308,10 +324,9 @@ def evaluate_split(
         sample_weight = np.zeros((B,), dtype=np.float32)
         sample_weight[:num_valid] = 1.0
         if mesh is not None:
-            batch = mesh_lib.shard_batch(batch, mesh)
-            sample_weight = jax.device_put(
-                sample_weight, mesh_lib.batch_sharding(mesh)
-            )
+            # val/test batches exist in full on every host
+            batch = mesh_lib.shard_global_batch(batch, mesh)
+            sample_weight = mesh_lib.shard_global_batch(sample_weight, mesh)
         stacked = val_step(
             params, batch, jax.random.fold_in(key, i), sample_weight
         )
@@ -360,14 +375,22 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     schema = spec.schema
     # Multi-host data parallelism: every process loads a disjoint 1-in-N
     # stride of the train records (DataLoader num_hosts/host_id) and feeds
-    # its own addressable batch shard; with input_mode='device' each host
-    # caches only its shard in HBM.  Single-process runs are unchanged
-    # (process_count() == 1).  Validation/test stay unsharded so the exact
-    # split-level num/den scores are computed identically on every host.
+    # its 1/N-sized local slice of the GLOBAL batch (config.batch_size is
+    # the global batch; mesh.shard_batch assembles the slices with
+    # jax.make_array_from_process_local_data).  Single-process runs are
+    # unchanged (process_count() == 1).  Validation/test stay unsharded so
+    # the exact split-level num/den scores are computed identically on
+    # every host.
+    n_proc = jax.process_count()
+    assert config.batch_size % max(n_proc, 1) == 0, (
+        f"global batch {config.batch_size} must divide over "
+        f"{n_proc} processes"
+    )
+    per_host_batch = config.batch_size // max(n_proc, 1)
     train_loader = spec.make_dataset(
-        "train", shuffle=True, repeat=True, seed=config.seed,
-        drop_remainder=True,
-        num_hosts=jax.process_count(), host_id=jax.process_index(),
+        "train", batch_size=per_host_batch, shuffle=True, repeat=True,
+        seed=config.seed, drop_remainder=True,
+        num_hosts=n_proc, host_id=jax.process_index(),
     )
     val_loader = spec.make_dataset("val")
     test_loader = spec.make_dataset("test")
@@ -393,24 +416,30 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         # Exact resume: parameters, Adam moments, and the step counter all
         # come back (the reference could only warm-start weights).
         state = ckpt_lib.load_checkpoint(last_path, jax.device_get(state))
-        # Device input mode drops the remainder (floor), host mode pads
-        # (ceil) — use the mode's actual steps-per-epoch for the epoch math.
-        if config.input_mode == "device":
-            actual_steps = max(
-                train_loader.num_records // config.batch_size, 1
-            )
-        else:
-            actual_steps = max(
-                -(-train_loader.num_records // config.batch_size), 1
-            )
-        start_epoch = 1 + int(state.step) // actual_steps
+        # Both input modes drop the remainder (the train loader is built
+        # with drop_remainder=True), so an epoch is floor(records/batch)
+        # steps — synchronized across hosts via the pre-shard global count.
+        start_epoch = 1 + int(state.step) // _steps_per_epoch(
+            train_loader, per_host_batch
+        )
         logger.info("resumed from %s at epoch %d", last_path, start_epoch)
 
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)
     state = mesh_lib.shard_state(state, mesh)
 
     base_step = make_train_step(model, task_config, tx, config.l2)
-    if config.input_mode == "device":
+    input_mode = config.input_mode
+    if input_mode == "device" and jax.process_count() > 1:
+        # The device-resident cache holds only this host's shard; a global
+        # (data, indices) gather across process-sharded HBM would need
+        # cross-host collectives per step.  Multi-process runs stream
+        # per-host batches instead (Prefetcher path below).
+        logger.warning(
+            "input_mode='device' is single-process; multi-process run "
+            "falls back to input_mode='host'"
+        )
+        input_mode = "host"
+    if input_mode == "device":
         from ..data.pipeline import gather_batch
 
         cache = DeviceDataCache(train_loader)
@@ -437,18 +466,16 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     base_key = jax.random.PRNGKey(config.seed)
     val_key = jax.random.fold_in(base_key, 2**30)
 
-    # Per-host epoch length (the loader may hold a 1-in-N host shard).
-    steps_per_epoch = max(
-        -(-train_loader.num_records // config.batch_size), 1
-    )
+    steps_per_epoch = _steps_per_epoch(train_loader, per_host_batch)
     best_score = -math.inf
     history = []
-    if config.input_mode == "device":
+    if input_mode == "device":
         def run_epoch(state, epoch):
-            # One compiled call per epoch: scan over the epoch's index block.
+            # One compiled call per epoch: scan over the epoch's index block,
+            # truncated to the host-synchronized step count.
             block = np.stack(
-                list(cache.epoch_indices(config.batch_size, config.seed, epoch))
-            )
+                list(cache.epoch_indices(per_host_batch, config.seed, epoch))
+            )[:steps_per_epoch]
             state, metrics = scan_fn(
                 state, cache.data, jnp.asarray(block), base_key
             )

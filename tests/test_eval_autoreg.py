@@ -49,3 +49,55 @@ def test_forward_eval_with_autoreg_baseline():
     onehot = jax.nn.one_hot(x["top"], 8)
     np.testing.assert_allclose(np.asarray(out["top"]), np.asarray(onehot))
     assert np.all(np.isfinite(np.asarray(out["left"])))
+
+
+def test_elem_eval_live_path_matches_expand_elem_spec(crello_spec):
+    """The chunked on-device elem step (the live path in evaluate_task) must
+    reproduce the _expand_elem specification exactly, autoreg reordering
+    included."""
+    from collections import defaultdict
+
+    from flexdm_tpu.evaluation.harness import (
+        evaluate_task,
+        make_eval_step,
+    )
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.train import init_params
+
+    schema = crello_spec.schema
+    model = MFPModel(schema, latent_dim=16, num_blocks=1, num_heads=2,
+                     attention_impl="xla")
+    loader = crello_spec.make_dataset("test", batch_size=4)
+    batch = {k: jnp.asarray(v)
+             for k, v in split_device_batch(next(iter(loader))).items()}
+    params = init_params(model, batch, seed=0)
+
+    fast = evaluate_task(model, params,
+                         crello_spec.make_dataset("test", batch_size=4),
+                         "elem", None, elem_chunk=32)
+
+    # Spec path: full B*S expansion via _expand_elem, scored in chunks.
+    step, names = make_eval_step(model, num_iter=1, sort=False)
+    total = defaultdict(float)
+    for host in crello_spec.make_dataset("test", batch_size=4,
+                                         pad_final_batch=False):
+        b = {k: jnp.asarray(v)
+             for k, v in split_device_batch(host).items()}
+        expanded, eye, weight = _expand_elem(b, schema, autoreg=False)
+        masks = get_initial_masks(
+            schema, jnp.zeros_like(eye)
+        )
+        for c in schema.modeled:
+            if c.is_sequence:
+                masks[c.name] = eye
+        stacked = step(params, expanded, masks, weight.astype(jnp.float32))
+        for k, v in zip(names, np.asarray(stacked).tolist()):
+            total[k] += v
+    for c in schema.columns:
+        num = total.get(f"{c.name}_score_num")
+        den = total.get(f"{c.name}_score_den")
+        if num is not None and den:
+            np.testing.assert_allclose(
+                fast[c.name], num / den, rtol=1e-4, err_msg=c.name
+            )

@@ -152,5 +152,8 @@ def test_train_wires_process_sharding(rico_dir, tmp_path, monkeypatch):
         attention_impl="xla", num_devices=1, seed=0,
     )
     results = train(config)
-    # 96-record synthetic train split -> 48 on this host -> 6 steps of 8.
-    assert results["history"][-1]["step"] == 48 // 8
+    # 96-record split over 2 hosts -> 48 local records; batch_size is the
+    # GLOBAL batch (8), each host contributes a 4-row slice; the
+    # host-synchronized epoch length is (96 // 2) // 4 = 12 steps (every
+    # process must run the same number of SPMD steps).
+    assert results["history"][-1]["step"] == (96 // 2) // (8 // 2)

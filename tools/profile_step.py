@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import tempfile
 import time
 
 
@@ -41,17 +39,14 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
 
-    from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
+    from flexdm_tpu.data import split_device_batch, synthetic
     from flexdm_tpu.models import MFPModel, forward_train, make_task_config
     from flexdm_tpu.models.masking import preprocess_for_train, sample_tasks
     from flexdm_tpu.train import TrainState, init_params, make_optimizer
     from flexdm_tpu.train.optim import l2_penalty
 
     B = args.batch_size
-    cache = os.path.join(tempfile.gettempdir(), f"flexdm_bench_crello_{B}")
-    if not os.path.exists(os.path.join(cache, "count.json")):
-        synthetic.generate("crello", cache, max(B, 64), 16, 16, seed=0)
-    spec = DatasetSpec("crello", cache, batch_size=B)
+    spec = synthetic.cached_spec("crello", B)
     schema = spec.schema
 
     model = MFPModel(
@@ -132,9 +127,12 @@ def main(argv=None):
     ))(state.params)
 
     def seg_opt(key, state, grads):
-        # fold the key in so the scan cannot hoist the update
+        # fold the key in so the scan cannot hoist the update; the noise
+        # must be NONZERO — a `* 0` gets algebraically simplified and the
+        # whole segment dead-code-eliminated (see timed()'s docstring)
         g = jax.tree.map(
-            lambda x: x + jax.random.uniform(key, ()) * 0, grads
+            lambda x: x + jax.random.uniform(key, (), x.dtype) * 1e-30,
+            grads,
         )
         updates, _ = tx.update(g, state.opt_state, state.params)
         leaves = jax.tree.leaves(updates)
