@@ -25,7 +25,9 @@ kernels tile with 128-row blocks.
 ``impl='xla'`` is the portable reference path (used on CPU and in parity
 tests); ``impl='pallas'`` is the TPU fast path; ``impl='auto'`` picks by
 backend and S (measured crossover: XLA fusion wins at document scale,
-Pallas from S > 128 up).
+Pallas from S > 512 up).  From S=4096 the backward switches to 4D-grid
+streaming kernels whose buffers are all block-sized — the resident form
+above overflows the 16 MB VMEM scoped limit there.
 """
 
 from __future__ import annotations
@@ -203,13 +205,100 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+# From this sequence length on, the backward runs as 4D-grid streaming
+# kernels: the resident-K/V backward kernels keep whole (S, Dh) arrays
+# double-buffered in VMEM and overflow the 16 MB scoped limit at S=4096
+# (measured 17-18 MB).  Below it, the resident kernels are faster (fewer,
+# larger grid cells).
+_BWD_STREAM_MIN_S = 4096
+
+
+def _flash_bwd_dq_stream_kernel(
+    q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref, dq_ref,
+    *, scale, causal,
+):
+    """dq for one (batch, head, q-block, k-block) cell; dq block accumulates
+    across the innermost (k-block) grid dim.  Every buffer is block-sized,
+    so VMEM stays O(block·Dh) at any S."""
+    qi, j = pl.program_id(2), pl.program_id(3)
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (Bq, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dh)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (Bq, 1)
+    delta = delta_ref[0, 0]
+    sc = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sc = sc + bias_ref[0]
+    if causal:
+        sc = sc + _causal_neg(qi, j, q.shape[0], k.shape[0])
+    p = jnp.exp(sc - lse)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    dq_ref[0, 0] += scale * jnp.dot(
+        ds, k, preferred_element_type=jnp.float32
+    )
+
+
+def _flash_bwd_dkv_stream_kernel(
+    q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref, do_ref,
+    dk_ref, dv_ref, *, scale, causal,
+):
+    """dk/dv for one (batch, head, k-block, q-block) cell; dk/dv blocks
+    accumulate across the innermost (q-block) grid dim."""
+    ki, i = pl.program_id(2), pl.program_id(3)
+    q = q_ref[0, 0].astype(jnp.float32)  # (Bq, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dh)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (Bq, 1)
+    delta = delta_ref[0, 0]
+    sc = jax.lax.dot_general(
+        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sc = sc + bias_ref[0]
+    if causal:
+        sc = sc + _causal_neg(i, ki, q.shape[0], k.shape[0])
+    p = jnp.exp(sc - lse)  # (Bq, Bk)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0, 0] += scale * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _block_size(s_pad: int) -> int:
     """Largest supported block dividing the (padded) sequence length.
 
     Measured on v5e (B=4, H=8, Dh=64, fwd+bwd, fetch-verified): 512-row
-    blocks are ~2x faster than 128-row blocks (4.0 vs 8.5 ms/iter at
-    S=2048) — bigger tiles amortize grid-cell dispatch and fill the MXU;
-    1024-row blocks exceed the 16 MB VMEM scoped limit.
+    blocks are ~2x faster than 128-row blocks (bigger tiles amortize
+    grid-cell dispatch and fill the MXU); 1024-row blocks exceed the 16 MB
+    VMEM scoped limit.
     """
     for b in (512, 256, 128):
         if s_pad % b == 0:
@@ -285,6 +374,11 @@ def _attention_pallas_bwd(causal, interpret, residuals, do):
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )
 
+    if s >= _BWD_STREAM_MIN_S:
+        return _attention_pallas_bwd_stream(
+            q, k, v, bias3, lse, delta, do, scale, causal, interpret, block
+        ) + (jnp.zeros_like(bias),)
+
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, scale=scale, causal=causal, block_k=block
@@ -339,6 +433,76 @@ def _attention_pallas_bwd(causal, interpret, residuals, do):
     return dq, dk, dv, jnp.zeros_like(bias)
 
 
+def _attention_pallas_bwd_stream(
+    q, k, v, bias3, lse, delta, do, scale, causal, interpret, block
+):
+    """Backward via the 4D-grid streaming kernels (block-sized VMEM only)."""
+    b, h, s, dh = q.shape
+    n = s // block
+
+    def rblk(pos):  # (1, 1, block, Dh) at the given grid position
+        return pl.BlockSpec((1, 1, block, dh), pos)
+
+    def sblk(pos):  # (1, 1, block, 1) scalar column at the given position
+        return pl.BlockSpec((1, 1, block, 1), pos)
+
+    common = dict(interpret=interpret)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_stream_kernel, scale=scale, causal=causal
+        ),
+        grid=(b, h, n, n),
+        in_specs=[
+            rblk(lambda bb, hh, i, j: (bb, hh, i, 0)),  # q
+            rblk(lambda bb, hh, i, j: (bb, hh, j, 0)),  # k
+            rblk(lambda bb, hh, i, j: (bb, hh, j, 0)),  # v
+            pl.BlockSpec((1, 1, block), lambda bb, hh, i, j: (bb, 0, j)),
+            sblk(lambda bb, hh, i, j: (bb, hh, i, 0)),  # lse
+            sblk(lambda bb, hh, i, j: (bb, hh, i, 0)),  # delta
+            rblk(lambda bb, hh, i, j: (bb, hh, i, 0)),  # do
+        ],
+        out_specs=rblk(lambda bb, hh, i, j: (bb, hh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 4,
+            transcendentals=b * h * s * s,
+        ),
+        **common,
+    )(q, k, v, bias3, lse, delta, do)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_stream_kernel, scale=scale, causal=causal
+        ),
+        grid=(b, h, n, n),
+        in_specs=[
+            rblk(lambda bb, hh, ki, i: (bb, hh, i, 0)),  # q
+            rblk(lambda bb, hh, ki, i: (bb, hh, ki, 0)),  # k
+            rblk(lambda bb, hh, ki, i: (bb, hh, ki, 0)),  # v
+            pl.BlockSpec((1, 1, block), lambda bb, hh, ki, i: (bb, 0, ki)),
+            sblk(lambda bb, hh, ki, i: (bb, hh, i, 0)),  # lse
+            sblk(lambda bb, hh, ki, i: (bb, hh, i, 0)),  # delta
+            rblk(lambda bb, hh, ki, i: (bb, hh, i, 0)),  # do
+        ],
+        out_specs=[
+            rblk(lambda bb, hh, ki, i: (bb, hh, ki, 0)),
+            rblk(lambda bb, hh, ki, i: (bb, hh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 4,
+            transcendentals=b * h * s * s,
+        ),
+        **common,
+    )(q, k, v, bias3, lse, delta, do)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
@@ -381,18 +545,20 @@ def dot_product_attention(
     bias = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)
 
     if impl == "auto":
-        # Measured on v5e, fwd+bwd, fetch-verified (B=4, H=8, Dh=64,
-        # ms/iter, pallas vs XLA): S=256 3.9/3.2, S=512 2.4/2.5,
-        # S=1024 3.2/3.6, S=2048 4.0/7.4, S=4096 7.7/21.4.  XLA's fused
-        # attention wins at document scale (the (B,H,S,S) tensor fits and
-        # fusion amortizes better than grid cells at tiny tiles); the flash
-        # kernels take over from S>256 — time crossover at S=512, widening
-        # to 2.8x at S=4096 — and are the memory-scaling path either way
-        # (O(S·Dh) HBM on both passes).
+        # Measured on v5e, fwd + FULL bwd (all three gradients consumed),
+        # fetch-verified (B=8, H=8, Dh=64, ms/iter, pallas vs XLA):
+        # S=256 1.67/1.84, S=512 1.84/1.87, S=1024 2.89/5.01,
+        # S=2048 6.31/14.81, S=4096 21.4/53.4.  XLA's fused attention wins
+        # at document scale (S <= ~512 is a tie within run noise, and the
+        # small fixed grid overhead isn't worth it); the flash kernels take
+        # over from S > 512 — 1.7x at S=1024, 2.3x at S=2048, 2.5x at
+        # S=4096 — and are the memory-scaling path either way (O(S·Dh) HBM
+        # on both passes; XLA's S^2 probabilities stop fitting long before
+        # the kernels do).
         use_pallas = (
             pltpu is not None
             and jax.default_backend() == "tpu"
-            and s > 256
+            and s > 512
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "xla":

@@ -147,3 +147,36 @@ def test_flash_forward_multiblock_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_streaming_backward_matches_xla(monkeypatch):
+    """The 4D-grid streaming backward (used from S=4096 on hardware, where
+    the resident-K/V form overflows VMEM) must produce the same gradients
+    as XLA; forced on at a small S via the dispatch constant."""
+    import flexdm_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "_BWD_STREAM_MIN_S", 1)
+    B, H, S, Dh = 2, 2, 256, 32
+    key = jax.random.PRNGKey(3)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (B, H, S, Dh))
+        for i in range(3)
+    )
+    mask = jnp.ones((B, S), bool).at[:, 200:].set(False)
+
+    def make_loss(impl):
+        def loss(q, k, v):
+            o = A.dot_product_attention(
+                q, k, v, key_mask=mask, causal=True, impl=impl,
+                interpret=(impl == "pallas"),
+            )
+            return jnp.sum(o * jnp.cos(o))
+        return loss
+
+    gx = jax.grad(make_loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(make_loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gx, gp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name}",
+        )
