@@ -25,19 +25,27 @@ if _os.environ.get("FLEXDM_PLATFORM"):
     # JAX_PLATFORMS env var cannot serve this role on images whose
     # sitecustomize exports it (e.g. a preloaded TPU plugin): user intent is
     # indistinguishable from the image default there.  FLEXDM_PLATFORM=cpu
-    # forces the CPU backend for fast local verification; a no-op when the
-    # backend was already initialized by the caller.
-    try:
-        import jax as _jax
+    # forces the CPU backend for fast local verification.  Updating the
+    # config after backend initialization does NOT raise — it silently has
+    # no effect — so detect a prior backend explicitly and warn (ADVICE r2).
+    import jax as _jax
 
-        _jax.config.update("jax_platforms", _os.environ["FLEXDM_PLATFORM"])
-    except Exception as _e:  # pragma: no cover - backend already in use
+    _requested = _os.environ["FLEXDM_PLATFORM"]
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _initialized = _xb.backends_are_initialized()
+    except Exception:  # pragma: no cover - private API moved
+        _initialized = False
+    if _initialized and _jax.default_backend() != _requested.split(",")[0]:
         import warnings as _warnings
 
         _warnings.warn(
-            "FLEXDM_PLATFORM=%r could not be applied (%s); the process "
-            "keeps the already-initialized JAX backend"
-            % (_os.environ["FLEXDM_PLATFORM"], _e)
+            "FLEXDM_PLATFORM=%r ignored: the JAX backend was already "
+            "initialized as %r before flexdm_tpu was imported"
+            % (_requested, _jax.default_backend())
         )
+    else:
+        _jax.config.update("jax_platforms", _requested)
 
 from . import data  # noqa: F401

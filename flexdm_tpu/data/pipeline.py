@@ -172,40 +172,194 @@ class DeviceDataCache:
     """Whole-split dataset resident in accelerator memory.
 
     At document scale (crello: ~20k docs x ~100KB padded) the split fits in
-    a single chip's HBM, so the fastest input pipeline is no host pipeline:
-    upload every record once, then each train step gathers its batch with a
-    device-side ``take`` on a (B,) index vector — the only per-step
-    host->device traffic is the indices.
+    HBM, so the fastest input pipeline is no host pipeline: upload every
+    record once, then each train step gathers its batch with a device-side
+    ``take`` on a (B,) index vector — the only per-step host->device traffic
+    is the indices.
+
+    **Mesh mode** (pass ``mesh=``): the record axis is sharded over the
+    mesh's ``data`` axis instead of landing on one chip — device ``d`` of
+    ``D`` holds records ``d, d+D, d+2D, …`` (round-robin keeps the shards
+    balanced within one record).  Gathers then happen with *local* per-shard
+    indices inside a :func:`jax.shard_map` (see :meth:`make_gather`), so a
+    batch never funnels through a single device's HBM and each step's
+    gather is collective-free.  The index-block builders
+    (:meth:`epoch_indices`, :meth:`eval_index_blocks`,
+    :meth:`elem_index_blocks`) emit device-aligned local indices: positions
+    ``[d*k, (d+1)*k)`` of every (…, B) index row belong to device ``d``.
+
+    The epoch shuffle in mesh mode is therefore *stratified*: each batch
+    draws exactly ``B/D`` records from every device's shard (each record
+    still appears exactly once per epoch).  This is the same statistical
+    change multi-host data parallelism already makes (per-host record
+    strides) and is standard practice for sharded caches; the reference's
+    tf.data pipeline streamed per host for the same reason (reference
+    ``src/mfp/mfp/data/spec.py:219-251``).
 
     Multi-host note: shard records across hosts first
     (``DataLoader(num_hosts=..., host_id=...)``) and build one cache per
-    host.
+    host; mesh mode additionally requires a single-process mesh (a global
+    cache over multi-host HBM would need cross-host gathers per step).
     """
 
-    def __init__(self, loader: "DataLoader"):
+    def __init__(self, loader: "DataLoader", mesh=None):
         import jax
         import jax.numpy as jnp
 
         records = [loader._record(i) for i in range(loader.num_records)]
         self.num_records = len(records)
+        self.mesh = None
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "mesh-sharded DeviceDataCache is single-process; "
+                    "multi-process runs stream per-host batches instead"
+                )
+            D = mesh.shape[mesh_lib.DATA_AXIS]
+            if D > 1:
+                self.mesh = mesh
+                self.data_axis_size = D
+                # Balanced round-robin shard assignment; pad the tail of
+                # each shard by repeating the last record (zero-weighted by
+                # the index-block builders).
+                self.shard_size = -(-len(records) // D)
+                self.local_counts = np.array(
+                    [
+                        sum(1 for i in range(self.shard_size) if i * D + d < len(records))
+                        for d in range(D)
+                    ],
+                    dtype=np.int64,
+                )
+                order = [
+                    min(i * D + d, len(records) - 1)
+                    for d in range(D)
+                    for i in range(self.shard_size)
+                ]
+                records = [records[g] for g in order]
+        if self.mesh is None:
+            self.data_axis_size = 1
+            self.shard_size = self.num_records
+            self.local_counts = np.array([self.num_records], dtype=np.int64)
+
         self.data = {}
         for k, v in records[0].items():
             if isinstance(v, np.ndarray) and v.dtype == object:
                 continue  # strings stay on host
             stacked = np.stack([r[k] for r in records], axis=0)
-            self.data[k] = jax.device_put(jnp.asarray(stacked))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from ..parallel.mesh import DATA_AXIS
+
+                sharding = NamedSharding(self.mesh, PartitionSpec(DATA_AXIS))
+                self.data[k] = jax.device_put(stacked, sharding)
+            else:
+                self.data[k] = jax.device_put(jnp.asarray(stacked))
+
+    def make_gather(self):
+        """jit-friendly ``(data, idx) -> batch`` closure-free gather.
+
+        Non-mesh: a plain global ``take``.  Mesh: a :func:`jax.shard_map`
+        over the ``data`` axis — each device slices its OWN shard with its
+        block of local indices, so the batch materializes already sharded
+        ``P('data')`` with zero communication.
+        """
+        if self.mesh is None:
+            return gather_batch
+        return make_sharded_gather(self.mesh)
 
     def gather(self, indices):
         """Batch = dataset[indices], computed on device."""
-        return gather_batch(self.data, indices)
+        return self.make_gather()(self.data, indices)
 
     def epoch_indices(self, batch_size: int, seed: int, epoch: int):
         """Host-side permutation -> per-step (B,) index arrays (tiny)."""
         rng = np.random.default_rng(seed + epoch)
-        order = rng.permutation(self.num_records)
-        stop = self.num_records - self.num_records % batch_size
-        for start in range(0, stop, batch_size):
-            yield order[start : start + batch_size].astype(np.int32)
+        if self.mesh is None:
+            order = rng.permutation(self.num_records)
+            stop = self.num_records - self.num_records % batch_size
+            for start in range(0, stop, batch_size):
+                yield order[start : start + batch_size].astype(np.int32)
+            return
+        D = self.data_axis_size
+        assert batch_size % D == 0, (batch_size, D)
+        per_dev = batch_size // D
+        # floor(N/B)·(B/D) <= floor(N/D) <= min(local_counts): every device
+        # can supply the full epoch from real (non-padding) records.
+        steps = self.num_records // batch_size
+        cols = [
+            rng.permutation(int(c))[: steps * per_dev].reshape(steps, per_dev)
+            for c in self.local_counts
+        ]
+        block = np.concatenate(cols, axis=1).astype(np.int32)
+        for t in range(steps):
+            yield block[t]
+
+    def eval_index_blocks(self, chunk: int):
+        """(T, chunk) local index + (T, chunk) weight blocks covering every
+        real record exactly once (weights zero padding rows).  Evaluation
+        sums are order-invariant, so mesh mode walks each shard in place."""
+        D = self.data_axis_size
+        assert chunk % D == 0, (chunk, D)
+        per_dev = chunk // D
+        T = -(-self.shard_size // per_dev)
+        rows = np.arange(T * per_dev)
+        idx = np.minimum(rows, self.shard_size - 1).astype(np.int32)
+        idx = np.tile(idx.reshape(T, 1, per_dev), (1, D, 1))
+        w = (rows.reshape(T, 1, per_dev) < self.local_counts.reshape(1, D, 1))
+        return (
+            idx.reshape(T, chunk),
+            w.astype(np.float32).reshape(T, chunk),
+        )
+
+    def elem_index_blocks(self, chunk: int, seq_len: int):
+        """Per-(record, element) replica blocks for ``elem`` evaluation.
+
+        Returns ``(doc_idx, elem_idx, weight)`` each of shape (T, chunk):
+        local record index, element index, and a weight zeroing replicas of
+        padding records.  (Replicas whose target *element* is padding are
+        zeroed later, on device, from the gathered lengths.)
+        """
+        D = self.data_axis_size
+        assert chunk % D == 0, (chunk, D)
+        per_dev = chunk // D
+        total = self.shard_size * seq_len
+        T = -(-total // per_dev)
+        r = np.arange(T * per_dev)
+        doc = np.minimum(r // seq_len, self.shard_size - 1).astype(np.int32)
+        elem = (r % seq_len).astype(np.int32)
+        doc = np.tile(doc.reshape(T, 1, per_dev), (1, D, 1))
+        elem = np.tile(elem.reshape(T, 1, per_dev), (1, D, 1))
+        w = (
+            (r // seq_len).reshape(T, 1, per_dev)
+            < self.local_counts.reshape(1, D, 1)
+        )
+        return (
+            doc.reshape(T, chunk),
+            elem.reshape(T, chunk),
+            w.astype(np.float32).reshape(T, chunk),
+        )
+
+
+def make_sharded_gather(mesh):
+    """``(data, idx) -> batch`` where ``data`` leaves are sharded P('data')
+    on their record axis and ``idx`` carries device-aligned LOCAL indices
+    (block ``d`` of the index vector indexes device ``d``'s shard).  The
+    slice runs entirely shard-locally; the output batch is sharded
+    P('data') on its leading axis."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    return jax.shard_map(
+        lambda data, idx: jax.tree.map(lambda v: v[idx], data),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
 
 
 def gather_batch(data, indices):

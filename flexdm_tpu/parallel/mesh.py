@@ -98,6 +98,12 @@ def shard_global_batch(tree, mesh: Mesh):
     sharding = batch_sharding(mesh)
 
     def place(x):
+        if x.shape[0] % n:
+            # Silently dropping the tail would corrupt eval num/den sums.
+            raise ValueError(
+                f"global batch dim {x.shape[0]} must divide over "
+                f"{n} processes"
+            )
         b = x.shape[0] // n
         return jax.make_array_from_process_local_data(
             sharding, x[pid * b : (pid + 1) * b]

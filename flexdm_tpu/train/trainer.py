@@ -168,11 +168,18 @@ def _steps_per_epoch(train_loader, batch_size: int) -> int:
     process must execute the same number of SPMD steps or the gradient
     collectives deadlock.
     """
-    min_shard = (
-        getattr(train_loader, "global_num_records", train_loader.num_records)
-        // max(train_loader.num_hosts, 1)
-    )
-    return max(min_shard // batch_size, 1)
+    num_hosts = max(train_loader.num_hosts, 1)
+    global_records = getattr(train_loader, "global_num_records", None)
+    if global_records is None:
+        if num_hosts > 1:
+            # num_records is already the LOCAL shard; dividing it by
+            # num_hosts again would undercount steps ~num_hosts x.
+            raise ValueError(
+                "multi-host training requires a loader exposing "
+                "global_num_records (the pre-shard record count)"
+            )
+        global_records = train_loader.num_records
+    return max(global_records // num_hosts // batch_size, 1)
 
 
 def make_train_step(
@@ -223,6 +230,7 @@ def _all_finite(tree) -> jnp.ndarray:
 def make_scan_steps(
     base_step: Callable,
     mesh,
+    gather_fn: Optional[Callable] = None,
 ) -> Callable:
     """Bundle K train steps into one compiled call via ``lax.scan``.
 
@@ -231,16 +239,24 @@ def make_scan_steps(
     train state and consumes a (K, B) block of batch indices, gathering each
     step's batch on device.  Amortizes per-step host dispatch, which at this
     model size is comparable to the device compute itself.
+
+    ``gather_fn``: pass ``DeviceDataCache.make_gather()`` for a cache whose
+    record axis is sharded over the mesh (indices are then device-aligned
+    local indices and the gather is shard-local).  Default: global-index
+    gather constrained to the batch sharding (single-device caches).
     """
     from ..data.pipeline import gather_batch
 
     batch_sharding = mesh_lib.batch_sharding(mesh)
+    if gather_fn is None:
+        def gather_fn(data, idx):
+            return jax.lax.with_sharding_constraint(
+                gather_batch(data, idx), batch_sharding
+            )
 
     def scan_steps(state: TrainState, data, indices, base_key):
         def body(state, idx):
-            batch = jax.lax.with_sharding_constraint(
-                gather_batch(data, idx), batch_sharding
-            )
+            batch = gather_fn(data, idx)
             state, metrics = base_step(state, batch, base_key)
             # Do NOT touch the metrics here: any use would keep the loss
             # scoring alive in every scanned step, where discarding it lets
@@ -250,9 +266,7 @@ def make_scan_steps(
 
         state, _ = jax.lax.scan(body, state, indices[:-1])
         # Final step outside the scan so its metrics are returned.
-        batch = jax.lax.with_sharding_constraint(
-            gather_batch(data, indices[-1]), batch_sharding
-        )
+        batch = gather_fn(data, indices[-1])
         state, metrics = base_step(state, batch, base_key)
         # NaN tripwire for the WHOLE bundle at zero per-step cost: a NaN
         # loss at any step poisons the parameters through the gradients and
@@ -361,15 +375,22 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     """Full training run; returns final metrics and checkpoint paths."""
     np.random.seed(config.seed)
 
+    # Multi-host: every process runs the identical SPMD program (and all
+    # participate in orbax saves, which coordinate internally), but only
+    # process 0 writes provenance/logs/tboard to the shared job dir.
+    is_primary = jax.process_index() == 0
     os.makedirs(config.job_dir, exist_ok=True)
-    with open(os.path.join(config.job_dir, "args.json"), "w") as f:
-        json.dump(config.to_json(), f, indent=2)
+    if is_primary:
+        with open(os.path.join(config.job_dir, "args.json"), "w") as f:
+            json.dump(config.to_json(), f, indent=2)
     ckpt_dir = os.path.join(config.job_dir, "checkpoints")
     log_path = os.path.join(config.job_dir, "logs", "history.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
     from ..utils.tboard import SummaryWriter
 
-    tb_writer = SummaryWriter(os.path.join(config.job_dir, "logs"))
+    tb_writer = SummaryWriter(
+        os.path.join(config.job_dir, "logs"), enabled=is_primary
+    )
 
     spec = DatasetSpec(config.dataset_name, config.data_dir, config.batch_size)
     schema = spec.schema
@@ -440,23 +461,25 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         )
         input_mode = "host"
     if input_mode == "device":
-        from ..data.pipeline import gather_batch
-
-        cache = DeviceDataCache(train_loader)
-        batch_sharding = mesh_lib.batch_sharding(mesh)
-
-        # The dataset dict is an explicit argument (NOT a closure capture):
-        # captured arrays can be embedded into the serialized HLO, which at
-        # dataset scale overflows compile transports.
-        def indexed_step(state, data, indices, base_key):
-            batch = jax.lax.with_sharding_constraint(
-                gather_batch(data, indices), batch_sharding
+        # Shard the resident split over the mesh's data axis whenever the
+        # per-host batch divides it — the dataset then occupies 1/D of each
+        # chip's HBM and every step's gather is shard-local (VERDICT r2 #1:
+        # an unsharded cache funnels multi-chip training through chip 0).
+        data_axis = mesh.shape[mesh_lib.DATA_AXIS]
+        cache_mesh = mesh if per_host_batch % data_axis == 0 else None
+        if cache_mesh is None and data_axis > 1:
+            logger.warning(
+                "batch %d does not divide the data axis (%d); the resident "
+                "dataset stays unsharded", per_host_batch, data_axis,
             )
-            return base_step(state, batch, base_key)
-
-        del indexed_step  # single-step path superseded by the scan bundle
+        cache = DeviceDataCache(train_loader, mesh=cache_mesh)
+        # The dataset dict is an explicit argument of the jitted scan (NOT a
+        # closure capture): captured arrays can be embedded into the
+        # serialized HLO, which at dataset scale overflows compile
+        # transports.
         scan_fn = jax.jit(
-            make_scan_steps(base_step, mesh), donate_argnums=(0,)
+            make_scan_steps(base_step, mesh, cache.make_gather()),
+            donate_argnums=(0,),
         )
     else:
         train_step = jax.jit(base_step, donate_argnums=(0,))
@@ -561,8 +584,9 @@ def train(config: TrainConfig) -> Dict[str, Any]:
                 record["checkpointed"] = True
 
         history.append(record)
-        with open(log_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if is_primary:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
         tb_writer.scalars(step, {k: v for k, v in record.items()
                                  if k not in ("epoch", "step")})
         logger.info("epoch %d: %s", epoch, record)

@@ -60,15 +60,24 @@ def encode_file_version_event() -> bytes:
 
 
 class SummaryWriter:
-    """Append scalar summaries to a TensorBoard-compatible event file."""
+    """Append scalar summaries to a TensorBoard-compatible event file.
 
-    def __init__(self, log_dir: str):
+    ``enabled=False`` turns every method into a no-op — used by non-primary
+    processes in multi-host training so only one host writes events.
+    """
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self._writer = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         name = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
         self._writer = RecordWriter(os.path.join(log_dir, name))
         self._writer.write(encode_file_version_event())
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
+        if self._writer is None:
+            return
         clean = {
             k: float(v)
             for k, v in values.items()
@@ -78,7 +87,9 @@ class SummaryWriter:
             self._writer.write(encode_scalar_event(step, clean))
 
     def flush(self) -> None:
-        self._writer._f.flush()
+        if self._writer is not None:
+            self._writer._f.flush()
 
     def close(self) -> None:
-        self._writer.close()
+        if self._writer is not None:
+            self._writer.close()

@@ -227,9 +227,9 @@ def test_evaluate_all_uploads_split_once(setup, monkeypatch):
     calls = []
     orig = pipeline_mod.DeviceDataCache.__init__
 
-    def counting(self, loader):
+    def counting(self, loader, mesh=None):
         calls.append(loader.split)
-        orig(self, loader)
+        orig(self, loader, mesh=mesh)
 
     monkeypatch.setattr(pipeline_mod.DeviceDataCache, "__init__", counting)
     ans = evaluate_all(model, params, spec, "all_feat", batch_size=8)
