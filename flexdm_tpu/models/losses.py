@@ -125,6 +125,7 @@ def compute_mfp_loss(
     sort_flag: Optional[jnp.ndarray] = None,
     ignore_sort: Optional[str] = None,
     sample_weight: Optional[jnp.ndarray] = None,
+    predict_context: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + metrics dict.
 
@@ -134,6 +135,14 @@ def compute_mfp_loss(
 
     ``sample_weight`` (B,) lets the eval harness zero out batch-padding
     samples so num/den sums stay exact with static batch shapes.
+
+    ``predict_context`` additionally scores canvas (non-sequence) columns
+    present in ``y_pred``, for ``context='canvas'`` models whose decoder
+    emits canvas heads (reference ``metrics.py:165,226``).  The reference's
+    branch is a dead flag (never set) and would mis-broadcast its (B, C)
+    canvas loss against a (B, C, 1) weight; here the canvas mfp mask
+    weights element-wise and the num/den accounting matches the sequence
+    columns' (deviation documented in PARITY.md §2.7).
     """
     if sort_flag is not None:
         y_true, y_pred = _apply_sorting(
@@ -231,6 +240,43 @@ def compute_mfp_loss(
             col_loss[name].reshape(mse.shape[0], -1), axis=1
         )
 
+    # --- Canvas columns (predict_context only; reference metrics.py:226) ---
+    canvas_cols = []
+    if predict_context:
+        canvas_cols = [
+            c for c in schema.columns
+            if not c.is_sequence and not c.demo_only and c.name in y_pred
+        ]
+    for column in canvas_cols:
+        name = column.name
+        w = jnp.asarray(masks[name]).astype(jnp.float32)  # (B, C)
+        if column.loss_condition is not None:
+            cond = column.loss_condition
+            table = jnp.asarray(cond.mask, dtype=jnp.float32)
+            w = w * table[y_true[cond.key].astype(jnp.int32)]
+        if column.is_categorical:
+            ce, hit = categorical_loss_and_score(
+                y_true[name], y_pred[name].astype(jnp.float32)
+            )
+            # Canvas masks are (B,) here; align to the (B, C) loss.
+            wc = jnp.broadcast_to(
+                w.reshape(w.shape[0], *([1] * (ce.ndim - 1))), ce.shape
+            ) if w.ndim < ce.ndim else w
+            col_loss[name] = wc * ce  # no seq axis to reduce
+            col_score[name] = wc * hit
+            col_den[name] = wc
+        else:
+            mse, score = continuous_loss_and_score(
+                y_true[name], y_pred[name].astype(jnp.float32)
+            )
+            wc = w[:, 0] if w.ndim > 1 else w  # (B,)
+            col_loss[name] = mse * float(column.shape[-1]) * wc
+            col_score[name] = score * wc
+            col_den[name] = wc
+        loss_vec = loss_vec + jnp.sum(
+            col_loss[name].reshape(w.shape[0], -1), axis=1
+        )
+
     sw = (
         sample_weight.astype(jnp.float32)
         if sample_weight is not None
@@ -242,7 +288,7 @@ def compute_mfp_loss(
 
     score_total = jnp.asarray(0.0, dtype=jnp.float32)
     metrics: Dict[str, jnp.ndarray] = {}
-    for column in modeled:
+    for column in modeled + canvas_cols:
         name = column.name
 
         def per_sample(x):  # (B, S, C) -> (B,)

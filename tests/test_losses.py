@@ -154,3 +154,38 @@ def test_sorted_scoring_matches_manual_sort():
     )
     assert float(m_yes["left_score"]) >= float(m_no["left_score"])
     np.testing.assert_allclose(float(m_yes["left_score"]), 1.0, atol=1e-6)
+
+
+def test_predict_context_scores_canvas_columns():
+    """predict_context=True additionally scores non-sequence columns present
+    in y_pred (reference metrics.py:165,226 — a dead flag there; corrected
+    broadcasting here, see PARITY.md §2.7)."""
+    schema = tiny_schema()
+    x = tiny_inputs(schema=schema, lengths=(1, 2, 3, 4))
+    seq = M.get_seq_mask(x["length"], schema.max_length)
+    masks = M.get_initial_masks(schema, seq)
+    for c in schema.modeled:
+        if c.is_sequence:
+            masks[c.name] = seq
+    pred = _perfect_predictions(schema, x)
+    # canvas head: length logits (B, 1, input_dim) argmaxing to GT
+    pred["length"] = 10.0 * jax.nn.one_hot(
+        x["length"], schema["length"].input_dim
+    )
+
+    _, base = L.compute_mfp_loss(schema, x, pred, masks)
+    assert "length_score" not in base
+
+    loss, metrics = L.compute_mfp_loss(
+        schema, x, pred, masks, predict_context=True
+    )
+    assert float(metrics["length_score"]) == 1.0
+    assert float(metrics["length_score_den"]) == 4.0  # all-True canvas mask
+    # total_score now counts the canvas field too: 7 fields / 7 columns
+    np.testing.assert_allclose(float(metrics["total_score"]), 1.0, atol=1e-5)
+    # imperfect canvas prediction lowers the canvas score only
+    bad = dict(pred)
+    bad["length"] = jnp.roll(pred["length"], 1, axis=-1)
+    _, m2 = L.compute_mfp_loss(schema, x, bad, masks, predict_context=True)
+    assert float(m2["length_score"]) == 0.0
+    assert float(m2["left_score"]) == 1.0
