@@ -79,6 +79,31 @@ class Vocab:
         self.mask_token = mask_token
         self._oov_index = (1 if mask_token is not None else 0)
         self._index = {t: i for i, t in enumerate(self.tokens)}
+        # Vectorized lookup tables (searchsorted over the sorted key set);
+        # built from the dict so duplicate tokens keep its later-wins
+        # semantics.  Mixed-type vocabularies fall back to the scalar loop.
+        self._fast = None
+        keys = list(self._index.keys())
+        if keys and all(
+            isinstance(k, (int, np.integer)) and not isinstance(k, bool)
+            for k in keys
+        ):
+            arr = np.fromiter((int(k) for k in keys), dtype=np.int64)
+            kind = "int"
+        elif keys and all(isinstance(k, (str, bytes)) for k in keys):
+            arr = np.array(
+                [k.encode("utf-8") if isinstance(k, str) else k for k in keys],
+                dtype=np.bytes_,
+            )
+            kind = "bytes"
+        else:
+            arr = None
+        if arr is not None:
+            vals = np.fromiter(
+                (self._index[k] for k in keys), dtype=np.int32
+            )
+            order = np.argsort(arr, kind="stable")
+            self._fast = (kind, arr[order], vals[order])
 
     def __len__(self) -> int:
         return len(self.tokens)
@@ -93,14 +118,50 @@ class Vocab:
 
     def lookup(self, values: np.ndarray) -> np.ndarray:
         flat = values.reshape(-1)
-        out = np.empty(flat.shape[0], dtype=np.int32)
-        for i, v in enumerate(flat):
-            if isinstance(v, bytes):
-                v = v.decode("utf-8")
-            elif isinstance(v, (np.integer,)):
-                v = int(v)
-            out[i] = self.lookup_scalar(v)
+        out = self._lookup_vectorized(flat)
+        if out is None:  # mixed-type vocab or exotic input dtype
+            out = np.empty(flat.shape[0], dtype=np.int32)
+            for i, v in enumerate(flat):
+                if isinstance(v, bytes):
+                    v = v.decode("utf-8")
+                elif isinstance(v, (np.integer,)):
+                    v = int(v)
+                out[i] = self.lookup_scalar(v)
         return out.reshape(values.shape)
+
+    def _lookup_vectorized(self, flat: np.ndarray) -> Optional[np.ndarray]:
+        """searchsorted-based batch lookup (the per-token Python loop was
+        the first-epoch decode bottleneck at corpus scale, VERDICT r2 #6);
+        identical outputs to :meth:`lookup_scalar` incl. OOV/KeyError."""
+        if self._fast is None:
+            return None
+        kind, sorted_keys, sorted_vals = self._fast
+        if kind == "int" and flat.dtype.kind in "iu":
+            q = flat.astype(np.int64, copy=False)
+        elif kind == "bytes" and (
+            flat.dtype.kind in "SU" or flat.dtype == object
+        ):
+            try:
+                q = np.asarray(flat, dtype=np.bytes_)
+            except (TypeError, UnicodeEncodeError, ValueError):
+                return None
+        else:
+            return None
+        pos = np.searchsorted(sorted_keys, q)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        hit = sorted_keys[pos_c] == q
+        if self.num_oov_indices > 0:
+            return np.where(hit, sorted_vals[pos_c], self._oov_index).astype(
+                np.int32
+            )
+        if not hit.all():
+            bad = q[~hit].reshape(-1)[0]
+            if isinstance(bad, bytes):
+                bad = bad.decode("utf-8", errors="replace")
+            raise KeyError(
+                f"token {bad!r} not in vocabulary and no OOV bucket"
+            )
+        return sorted_vals[pos_c].astype(np.int32)
 
     def table(self) -> np.ndarray:
         """Index -> token array for un-preprocessing (spec.py:327-330)."""
@@ -316,30 +377,50 @@ class DatasetSpec:
     # Decoding + preprocessing
     # ------------------------------------------------------------------
     @property
-    def _native_float_keys(self) -> frozenset:
-        """Wide float sequence columns decoded by the C++ fast path."""
-        if not hasattr(self, "_native_keys_cache"):
-            keys = set()
-            if tfrecord._load_native() is not None:
-                for name, column in self.columns.items():
-                    shape = tuple(column.get("shape", (1,)))
-                    if (
-                        column.get("is_sequence", False)
-                        and column["dtype"] in ("float", "float32", "float64")
-                        and shape[-1] >= 16
-                    ):
-                        keys.add(name)
-            self._native_keys_cache = frozenset(keys)
-        return self._native_keys_cache
+    def _native_seq_metas(self):
+        """(name, kind, S, width) for every numeric sequence column — the
+        C++ single-pass decoder's work list (``flexdm_decode_seq_features``).
+        Empty when the native library is absent or predates the entry point.
+        """
+        if not hasattr(self, "_native_metas_cache"):
+            metas = []
+            for name, column in self.columns.items():
+                shape = tuple(column.get("shape", (1,)))
+                dtype = column["dtype"]
+                if column.get("is_sequence", False) and dtype != "string":
+                    kind = "float" if dtype.startswith("float") else "int64"
+                    metas.append(
+                        (name, kind, self.max_length, int(np.prod(shape)))
+                    )
+            self._native_metas_cache = tuple(metas)
+        return self._native_metas_cache
+
+    @property
+    def _native_decoder(self):
+        if not hasattr(self, "_native_decoder_cache"):
+            self._native_decoder_cache = tfrecord.make_seq_feature_decoder(
+                self._native_seq_metas
+            )
+        return self._native_decoder_cache
 
     def decode_record(self, payload: bytes) -> Dict[str, np.ndarray]:
         """One serialized SequenceExample -> padded, preprocessed arrays.
 
         Sequence columns come back ``(max_length, C)``; canvas columns ``(C,)``.
-        String demo-only columns stay as object arrays.  Wide float columns
-        (the 512-d embeddings) are decoded by the native library when built.
+        String demo-only columns stay as object arrays.  All numeric sequence
+        columns decode through the native library in one C++ pass when built
+        (replaces ``tf.io.parse_sequence_example`` + AUTOTUNE, reference
+        ``src/mfp/mfp/data/spec.py:255-287``); the Python proto codec then
+        only touches context features and string columns (heavy bodies are
+        skipped unparsed).
         """
-        native_keys = self._native_float_keys
+        metas = self._native_seq_metas
+        decoder = self._native_decoder if metas else None
+        native = decoder(payload) if decoder is not None else None
+        native_keys = (
+            frozenset(m[0] for m in metas) if native is not None
+            else frozenset()
+        )
         context, feature_lists = example_proto.decode_sequence_example(
             payload, skip_sequence_keys=native_keys
         )
@@ -348,19 +429,27 @@ class DatasetSpec:
         for name, column in self.columns.items():
             shape = tuple(column.get("shape", (1,)))
             np_dtype = _NP_DTYPES[column["dtype"]]
-            if name in native_keys and name in feature_lists:
-                rows = tfrecord.decode_float_feature(
-                    payload, name, S, int(np.prod(shape))
-                )
-                arr = np.zeros((S,) + shape, dtype=np.float32)
-                arr[: rows.shape[0]] = rows.reshape((-1,) + shape)
+            if name in native_keys:
+                n_rows, flat = native[name]
+                arr = flat.reshape((S,) + shape)
+                if arr.dtype != np_dtype:
+                    arr = arr.astype(np_dtype)
             elif column.get("is_sequence", False):
                 rows = feature_lists.get(name, [])
                 arr = np.zeros((S,) + shape, dtype=np_dtype)
                 if np_dtype is object:
                     arr[:] = b""
-                for j, row in enumerate(rows[:S]):
-                    arr[j] = np.asarray(row, dtype=np_dtype).reshape(shape)
+                n = min(len(rows), S)
+                if n:
+                    try:  # one bulk conversion (rows are regular)
+                        arr[:n] = np.asarray(
+                            rows[:n], dtype=np_dtype
+                        ).reshape((n,) + shape)
+                    except (ValueError, TypeError):  # ragged rows
+                        for j, row in enumerate(rows[:n]):
+                            arr[j] = np.asarray(
+                                row, dtype=np_dtype
+                            ).reshape(shape)
             else:
                 vals = context.get(name, [])
                 arr = np.zeros(shape, dtype=np_dtype)

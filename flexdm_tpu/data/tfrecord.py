@@ -155,6 +155,87 @@ def decode_float_feature(
     return out[: int(n)]
 
 
+class SeqFeatureDecoder:
+    """One-native-pass decoder for a fixed work list of numeric sequence
+    feature-lists (C++: ``flexdm_decode_seq_features``).
+
+    ``metas``: sequence of ``(name, kind, max_rows, row_size)`` with kind
+    ``'float'`` or ``'int64'``.  The ctypes argument blocks are built ONCE
+    here; each call only allocates the output buffers (the per-record ctypes
+    marshalling cost the un-cached form ~15% of decode throughput).
+    """
+
+    def __init__(self, metas):
+        self.metas = tuple(metas)
+        n = len(self.metas)
+        self._names = (ctypes.c_char_p * n)(
+            *[m[0].encode() for m in self.metas]
+        )
+        self._kinds = (ctypes.c_ubyte * n)(
+            *[1 if m[1] == "float" else 2 for m in self.metas]
+        )
+        self._max_rows = (ctypes.c_longlong * n)(
+            *[m[2] for m in self.metas]
+        )
+        self._row_sizes = (ctypes.c_longlong * n)(
+            *[m[3] for m in self.metas]
+        )
+        self._dtypes = [
+            np.float32 if m[1] == "float" else np.int64 for m in self.metas
+        ]
+
+    def __call__(self, payload: bytes) -> dict:
+        lib = _load_native()
+        n = len(self.metas)
+        arrays = [
+            np.zeros((m[2], m[3]), dtype=dt)
+            for m, dt in zip(self.metas, self._dtypes)
+        ]
+        outs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrays])
+        rows_out = (ctypes.c_longlong * n)()
+        rc = lib.flexdm_decode_seq_features(
+            payload, len(payload), self._names, self._kinds, n, outs,
+            self._max_rows, self._row_sizes, rows_out,
+        )
+        if rc < 0:
+            raise IOError(f"native sequence decode failed (code {rc})")
+        return {
+            m[0]: (int(rows_out[i]), arrays[i])
+            for i, m in enumerate(self.metas)
+        }
+
+
+def make_seq_feature_decoder(metas) -> Optional["SeqFeatureDecoder"]:
+    """A :class:`SeqFeatureDecoder`, or None when the native library (or
+    this entry point, for a stale .so) is unavailable."""
+    lib = _load_native()
+    if lib is None or not metas:
+        return None
+    if not hasattr(lib, "flexdm_decode_seq_features"):
+        return None
+    if not getattr(lib, "_seq_sig_set", False):
+        lib.flexdm_decode_seq_features.restype = ctypes.c_longlong
+        lib.flexdm_decode_seq_features.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib._seq_sig_set = True
+    return SeqFeatureDecoder(metas)
+
+
+def decode_seq_features(payload: bytes, metas) -> Optional[dict]:
+    """One-shot convenience wrapper over :class:`SeqFeatureDecoder`."""
+    decoder = make_seq_feature_decoder(metas)
+    return None if decoder is None else decoder(payload)
+
+
 def read_records(path: str, verify_crc: bool = False) -> List[bytes]:
     """Read every record payload in a TFRecord file."""
     native = _scan_records_native(path, verify_crc)

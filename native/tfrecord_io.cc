@@ -137,6 +137,79 @@ bool find_len_field(Cursor c, uint32_t field, Cursor* out, Cursor* rest) {
   return false;
 }
 
+// Decode the Feature rows of a FeatureList into a fixed-width float buffer.
+// Rows shorter than row_size keep the caller's zero fill.
+long long decode_float_rows(Cursor flist, float* out, long long max_rows,
+                            long long row_size) {
+  long long row = 0;
+  Cursor fc = flist;
+  while (fc.p < fc.end && row < max_rows) {
+    Cursor feature, frest;
+    if (!find_len_field(fc, 1, &feature, &frest)) break;
+    fc = frest;
+    // Feature.float_list = field 2; FloatList.value = field 1 (packed).
+    Cursor float_list;
+    if (!find_len_field(feature, 2, &float_list, nullptr)) {
+      ++row;  // present but not a float row; keep zeros
+      continue;
+    }
+    Cursor packed;
+    if (find_len_field(float_list, 1, &packed, nullptr)) {
+      long long n = (packed.end - packed.p) / 4;
+      if (n > row_size) n = row_size;
+      std::memcpy(out + row * row_size, packed.p, n * 4);
+    }
+    ++row;
+  }
+  return row;
+}
+
+// Same for Int64List rows (packed varints, two's-complement int64).
+long long decode_int64_rows(Cursor flist, int64_t* out, long long max_rows,
+                            long long row_size) {
+  long long row = 0;
+  Cursor fc = flist;
+  while (fc.p < fc.end && row < max_rows) {
+    Cursor feature, frest;
+    if (!find_len_field(fc, 1, &feature, &frest)) break;
+    fc = frest;
+    // Feature.int64_list = field 3; Int64List.value = field 1.
+    Cursor int_list;
+    if (!find_len_field(feature, 3, &int_list, nullptr)) {
+      ++row;
+      continue;
+    }
+    int64_t* dst = out + row * row_size;
+    long long k = 0;
+    Cursor ic = int_list;
+    while (ic.p < ic.end) {
+      uint64_t key;
+      if (!read_varint(&ic, &key)) break;
+      uint32_t f = key >> 3, wire = key & 7;
+      if (f == 1 && wire == 2) {  // packed
+        uint64_t n;
+        if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n) break;
+        Cursor pc{ic.p, ic.p + n};
+        ic.p += n;
+        uint64_t v;
+        while (pc.p < pc.end && read_varint(&pc, &v)) {
+          if (k < row_size) dst[k] = (int64_t)v;
+          ++k;
+        }
+      } else if (f == 1 && wire == 0) {  // unpacked
+        uint64_t v;
+        if (!read_varint(&ic, &v)) break;
+        if (k < row_size) dst[k] = (int64_t)v;
+        ++k;
+      } else if (!skip_field(&ic, wire)) {
+        break;
+      }
+    }
+    ++row;
+  }
+  return row;
+}
+
 }  // namespace
 
 extern "C" {
@@ -213,23 +286,53 @@ long long flexdm_decode_float_feature(const unsigned char* payload,
     Cursor flist;
     if (!find_len_field(entry, 2, &flist, nullptr)) return 0;
 
-    long long row = 0;
-    Cursor fc = flist;
-    while (fc.p < fc.end && row < max_rows) {
-      Cursor feature, frest;
-      if (!find_len_field(fc, 1, &feature, &frest)) break;
-      fc = frest;
-      // Feature.float_list = field 2; FloatList.value = field 1 (packed).
-      Cursor float_list;
-      if (!find_len_field(feature, 2, &float_list, nullptr)) continue;
-      Cursor packed;
-      if (!find_len_field(float_list, 1, &packed, nullptr)) continue;
-      long long n = (packed.end - packed.p) / 4;
-      if (n > row_size) n = row_size;
-      std::memcpy(out + row * row_size, packed.p, n * 4);
-      ++row;
+    return decode_float_rows(flist, out, max_rows, row_size);
+  }
+  return 0;
+}
+
+// Decode EVERY requested numeric sequence feature-list from one serialized
+// SequenceExample in a single pass (extends the float-only fast path to
+// int64 and narrow columns — the whole schema short of demo-only strings).
+// kinds[i]: 1 = float32 buffer, 2 = int64 buffer.  rows_out[i] receives the
+// row count written (0 when the key is absent).  Returns 0 on success.
+long long flexdm_decode_seq_features(
+    const unsigned char* payload, long long payload_len,
+    const char* const* names, const unsigned char* kinds, long long num_names,
+    void* const* outs, const long long* max_rows, const long long* row_sizes,
+    long long* rows_out) {
+  for (long long i = 0; i < num_names; ++i) rows_out[i] = 0;
+  Cursor se{payload, payload + payload_len};
+  Cursor feature_lists;
+  if (!find_len_field(se, 2, &feature_lists, nullptr)) return 0;
+
+  std::vector<size_t> name_lens(num_names);
+  for (long long i = 0; i < num_names; ++i)
+    name_lens[i] = std::strlen(names[i]);
+
+  Cursor c = feature_lists;
+  while (c.p < c.end) {
+    Cursor entry, rest;
+    if (!find_len_field(c, 1, &entry, &rest)) break;
+    c = rest;
+    Cursor key;
+    if (!find_len_field(entry, 1, &key, nullptr)) continue;
+    size_t klen = (size_t)(key.end - key.p);
+    for (long long i = 0; i < num_names; ++i) {
+      if (klen != name_lens[i] ||
+          std::memcmp(key.p, names[i], klen) != 0)
+        continue;
+      Cursor flist;
+      if (!find_len_field(entry, 2, &flist, nullptr)) break;
+      if (kinds[i] == 1) {
+        rows_out[i] = decode_float_rows(
+            flist, (float*)outs[i], max_rows[i], row_sizes[i]);
+      } else if (kinds[i] == 2) {
+        rows_out[i] = decode_int64_rows(
+            flist, (int64_t*)outs[i], max_rows[i], row_sizes[i]);
+      }
+      break;
     }
-    return row;
   }
   return 0;
 }

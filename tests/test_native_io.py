@@ -98,12 +98,75 @@ def test_native_decode_speedup(crello_spec, crello_dir):
         crello_spec.decode_record(p)
     t_native = time.perf_counter() - t0
 
-    crello_spec._native_keys_cache = frozenset()
+    crello_spec._native_metas_cache = ()
     t0 = time.perf_counter()
     for p in payloads:
         crello_spec.decode_record(p)
     t_python = time.perf_counter() - t0
-    del crello_spec._native_keys_cache
+    del crello_spec._native_metas_cache
 
     # Embeddings dominate decode time; native should win clearly.
     assert t_native < t_python
+
+def test_native_seq_features_decode_all_kinds():
+    """One-pass decode of float + int64 feature lists (incl. negatives and
+    narrow columns), matching the Python proto codec."""
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(5, 16)).astype(np.float32)
+    types = rng.integers(-3, 12, size=(5, 1))
+    color = rng.integers(0, 255, size=(5, 3))
+    buf = example_proto.encode_sequence_example(
+        {"length": [5]},
+        {
+            "emb": [[float(x) for x in r] for r in emb],
+            "type": [[int(v) for v in r] for r in types],
+            "color": [[int(v) for v in r] for r in color],
+            "uuid": [[b"u%d" % i] for i in range(5)],
+        },
+    )
+    metas = [
+        ("emb", "float", 8, 16),
+        ("type", "int64", 8, 1),
+        ("color", "int64", 8, 3),
+        ("missing", "int64", 8, 1),
+    ]
+    out = tfrecord.decode_seq_features(buf, metas)
+    assert out is not None
+    n, arr = out["emb"]
+    assert n == 5
+    np.testing.assert_allclose(arr[:5], emb, rtol=1e-6)
+    np.testing.assert_array_equal(arr[5:], 0.0)
+    n, arr = out["type"]
+    assert n == 5 and arr.dtype == np.int64
+    np.testing.assert_array_equal(arr[:5], types)
+    n, arr = out["color"]
+    assert n == 5
+    np.testing.assert_array_equal(arr[:5], color)
+    n, arr = out["missing"]
+    assert n == 0
+    np.testing.assert_array_equal(arr, 0)
+
+
+def test_decode_record_native_matches_python(tmp_path):
+    """DatasetSpec.decode_record must produce identical arrays with and
+    without the native fast path."""
+    from flexdm_tpu.data import DatasetSpec, synthetic
+
+    d = str(tmp_path / "crello")
+    synthetic.generate("crello", d, 6, 2, 2, seed=3)
+    spec_native = DatasetSpec("crello", d, batch_size=2)
+    spec_python = DatasetSpec("crello", d, batch_size=2)
+    # force the python path on the second spec
+    spec_python._native_metas_cache = ()
+
+    loader = spec_native.make_dataset("train", batch_size=2)
+    for payload in loader._payloads:
+        a = spec_native.decode_record(payload)
+        b = spec_python.decode_record(payload)
+        assert set(a) == set(b)
+        for k in a:
+            if a[k].dtype == object:
+                np.testing.assert_array_equal(a[k], b[k])
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                assert a[k].dtype == b[k].dtype, k
