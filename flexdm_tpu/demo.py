@@ -118,12 +118,18 @@ def run_demo(
     pred = forward_eval(model, params, batch, masks, tasks=tasks, num_iter=num_iter)
     pred = {k: v for k, v in pred.items()}
 
+    from .helpers.svg import load_fonts_css
+
     builder = SVGBuilder(
         key="type",
         vocab=spec.vocabs["type"].tokens if "type" in spec.vocabs else None,
         max_width=180,
         max_height=180,
         render_text=True,
+        # The crello release ships fonts.css (@font-face links); when
+        # present in the data dir every rendered SVG embeds the real fonts
+        # (reference svg_crello.py:130-147).
+        fonts_css=load_fonts_css(spec.path) if spec.path else None,
     )
     gt_items = spec.unbatch(host)
     in_items = spec.unbatch(

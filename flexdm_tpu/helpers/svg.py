@@ -50,6 +50,25 @@ def rico_component_colormap() -> Dict[str, str]:
     return {name: entry["hex"] for name, entry in legend.items()}
 
 
+def load_fonts_css(path: str) -> Optional[str]:
+    """Load the crello data release's ``fonts.css`` (``@font-face`` links to
+    the hosted .ttf files; reference ``svg_crello.py:130-147`` inlines the
+    same file into every SVG).
+
+    ``path`` may be the css file itself or a directory containing
+    ``fonts.css`` (e.g. the crello data dir).  Returns None when absent, so
+    callers can pass the result straight to ``SVGBuilder(fonts_css=...)``.
+    """
+    import os
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "fonts.css")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return f.read()
+
+
 def make_colormap(vocabulary, cmap_name: Optional[str] = None) -> Dict[str, str]:
     """label -> css color for a vocabulary list (reference svg_rico.py:143-154)."""
     try:

@@ -181,3 +181,47 @@ def test_demo_page(tmp_path, rico_dir):
     out2 = run_demo(job, task="elem", num_examples=2, num_iter=2,
                     out_path=str(tmp_path / "d2.html"))
     assert os.path.exists(out2)
+
+
+def test_load_fonts_css_and_embedding(tmp_path):
+    """fonts.css from a data dir is inlined as a <style> block in every SVG
+    (reference svg_crello.py:130-147)."""
+    from flexdm_tpu.helpers.svg import load_fonts_css
+
+    css = (
+        "@font-face {\n  font-family: Font1;\n"
+        "  src: url(https://example.com/font1.ttf)\n}\n"
+    )
+    (tmp_path / "fonts.css").write_text(css)
+    # file path and directory path both resolve
+    assert load_fonts_css(str(tmp_path / "fonts.css")) == css
+    assert load_fonts_css(str(tmp_path)) == css
+    assert load_fonts_css(str(tmp_path / "missing")) is None
+
+    builder = SVGBuilder(
+        key="type", vocab=["", "coloredBackground", "textElement"],
+        render_text=True, fonts_css=load_fonts_css(str(tmp_path)),
+    )
+    svg = builder(sample_doc())
+    root = ET.fromstring(svg)
+    styles = root.findall(".//{http://www.w3.org/2000/svg}style")
+    assert styles and "Font1" in styles[0].text
+
+
+def test_reference_fonts_css_parses():
+    """The fonts.css shipped with the reference tree loads cleanly (the
+    real data release carries the same file)."""
+    import os
+
+    from flexdm_tpu.helpers.svg import load_fonts_css
+
+    ref = "/root/reference/src/mfp/mfp/data/crello"
+    if not os.path.exists(os.path.join(ref, "fonts.css")):
+        import pytest
+
+        pytest.skip("reference fonts.css unavailable")
+    css = load_fonts_css(ref)
+    assert css.count("@font-face") > 500
+    builder = SVGBuilder(key="type", vocab=["textElement"], fonts_css=css)
+    svg = builder(sample_doc())
+    assert "@font-face" in svg
