@@ -152,21 +152,26 @@ def measure_eval(batch_size=256, repeats=3, test_docs=2048):
         espec.make_dataset("test", batch_size=batch_size)
     )
 
-    def run():
+    def run(task, group):
         loader = espec.make_dataset("test", batch_size=batch_size)
         return evaluate_task(
-            model, params, loader, "pos", ("pos", groups["pos"]),
-            cache=dcache,
+            model, params, loader, task, group, cache=dcache,
         )
 
-    run()  # compile
+    run("pos", ("pos", groups["pos"]))  # compile
     t0 = time.perf_counter()
     for _ in range(repeats):
-        run()
+        run("pos", ("pos", groups["pos"]))
     elapsed = time.perf_counter() - t0
-    return {
-        "eval_docs_per_sec": round(repeats * test_docs / elapsed, 1)
-    }
+    out = {"eval_docs_per_sec": round(repeats * test_docs / elapsed, 1)}
+
+    # elem = one forward per (document, element): N*S replicas; by far the
+    # heaviest protocol (reference eval.py:66-90), so it gets its own anchor.
+    run("elem", None)  # compile
+    t0 = time.perf_counter()
+    run("elem", None)
+    out["elem_docs_per_sec"] = round(test_docs / (time.perf_counter() - t0), 1)
+    return out
 
 
 def measure_decode(test_docs=2048):
