@@ -47,7 +47,7 @@ def _spec(batch_size):
 
 def measure_train(
     spec, batch_size, latent, blocks, steps, attention_impl="auto",
-    dtype=None, remat=False,
+    dtype=None, remat=False, seq_type="default", masking_method=None,
 ):
     """steps/sec of the scan-bundled training loop (the trainer's hot path)."""
     import jax
@@ -69,6 +69,8 @@ def measure_train(
     model = MFPModel(
         spec.schema, latent_dim=latent, num_blocks=blocks,
         attention_impl=attention_impl, dtype=dtype, remat=remat,
+        seq_type=seq_type,
+        input_dtype="shuffled_set" if seq_type == "flat" else "set",
     )
     loader = spec.make_dataset("train", batch_size=batch_size, shuffle=True,
                                repeat=True, drop_remainder=True)
@@ -324,10 +326,26 @@ def main() -> None:
                 ),
             }
 
+        def _flat():
+            # VanillaTransformer (seq_type='flat'): S*F tokens per doc —
+            # the in-framework consumer of the flash kernels (S*F ~ 500-650
+            # sits at the measured Pallas/XLA crossover); both impls
+            # reported so the dispatch choice stays honest.
+            out = {}
+            for impl in ("xla", "pallas"):
+                r = measure_train(
+                    spec, max(batch_size // 4, 8), latent, blocks,
+                    max(steps // 2, 5), attention_impl=impl,
+                    seq_type="flat",
+                )
+                out[f"flat_{impl}_steps_per_sec"] = r["steps_per_sec"]
+            return out
+
         # Secondary anchors; a failure in any must not lose the main metric.
         for name, fn in (
             ("bf16", _bf16),
             ("scaled", _scaled),
+            ("flat", _flat),
             ("eval", measure_eval),
             ("attn", measure_attention_s512),
             ("decode", measure_decode),

@@ -61,10 +61,18 @@ def apply_token(
     mask: jnp.ndarray,
     token_type: str,
     key: Optional[jax.Array] = None,
+    fast_rng: bool = False,
 ) -> jnp.ndarray:
     """Write [MASK]/[NULL]/random tokens where ``mask`` is True.
 
     ``x`` is (B, S, C); ``mask`` is (B, S).  Reference masking.py:68-95.
+
+    ``fast_rng`` draws the random-replacement values through the hardware
+    ``rbg`` generator (``ops/rng.py``) instead of threefry — the
+    ``(B, S, 512)`` embedding replacements are the largest per-step draws.
+    rbg bits are not positionally stable across batch sizes on TPU, so this
+    is for the TRAIN path only (full fixed-size batches); validation keeps
+    threefry so padded batches reproduce unpadded rows bit-for-bit.
     """
     assert token_type in ("masked", "unused", "random"), token_type
     m = mask[..., None]
@@ -73,6 +81,10 @@ def apply_token(
             token = jnp.asarray(column.mask_token_id, dtype=x.dtype)
         elif token_type == "unused":
             token = jnp.asarray(column.null_token_id, dtype=x.dtype)
+        elif fast_rng:
+            from ..ops import rng as fast
+
+            token = fast.randint(key, x.shape, 0, column.input_dim, x.dtype)
         else:
             token = jax.random.randint(key, x.shape, 0, column.input_dim, x.dtype)
         return jnp.where(m, token, x)
@@ -81,6 +93,10 @@ def apply_token(
             token = jnp.asarray(MASK_VALUE, dtype=x.dtype)
         elif token_type == "unused":
             token = jnp.asarray(NULL_VALUE, dtype=x.dtype)
+        elif fast_rng:
+            from ..ops import rng as fast
+
+            token = 0.1 * fast.normal(key, x.shape, dtype=x.dtype)
         else:
             token = 0.1 * jax.random.normal(key, x.shape, dtype=x.dtype)
         return jnp.where(m, token, x)
@@ -317,6 +333,7 @@ def preprocess_for_train(
     tasks: jnp.ndarray,
     key: jax.Array,
     is_autoreg: bool = False,
+    fast_rng: bool = False,
 ) -> Tuple[Arrays, Arrays, Arrays]:
     """Per-sample task masking: mux cheap (B, S) masks, touch data once.
 
@@ -381,7 +398,7 @@ def preprocess_for_train(
         rand_tok = is_random & chg & (rand_arr < thresh)
 
         y = apply_token(filtered[name], column, mask_tok, "masked")
-        y = apply_token(y, column, rand_tok, "random", k4)
+        y = apply_token(y, column, rand_tok, "random", k4, fast_rng=fast_rng)
         modified[name] = y
         masks[name] = jnp.where(is_random, mlm_mask, variant_mask)
         si += 1

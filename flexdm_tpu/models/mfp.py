@@ -162,8 +162,11 @@ def forward_train(
     elif input_dtype == "sorted_set":
         inputs = sort_inputs(inputs, schema)
 
+    # Train batches are full fixed-size (drop_remainder), so the big
+    # random-replacement draws can use the hardware rbg generator; val
+    # (train=False) keeps threefry for exact batch-size invariance.
     targets, modified, masks = preprocess_for_train(
-        inputs, schema, tasks, k_mask, is_autoreg=is_autoreg
+        inputs, schema, tasks, k_mask, is_autoreg=is_autoreg, fast_rng=train
     )
     rngs = (
         {"dropout": k_drop, "noise": k_noise, "vae": k_vae}

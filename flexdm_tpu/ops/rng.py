@@ -10,13 +10,15 @@ near-memory speed: the key arriving at the call site is an ordinary threefry
 key (cheap to split/fold, well-mixed), and only the final array draw converts
 it to an rbg key.
 
-Scope: these helpers back **dropout only** (``FastDropout``), which never
-influences validation or evaluation scores (dropout is off outside
-training).  The masking layer deliberately stays on threefry: rbg bits are
-NOT positionally stable across array shapes on TPU (measured — the value at
-``[i, ...]`` of a ``(B, ...)`` draw changes with ``B``), which would break
-the exact batch-size invariance of validation scores that threefry's
-counter-based layout provides.
+Scope: these helpers back **dropout** (``FastDropout``) and the **train-path
+random-replacement draws** (``apply_token(..., fast_rng=True)``, r3) —
+neither influences validation or evaluation scores (dropout is off outside
+training; train batches are full fixed-size so no batch-padding contract
+applies).  Mask *positions* and every validation-path draw deliberately stay
+on threefry: rbg bits are NOT positionally stable across array shapes on TPU
+(measured — the value at ``[i, ...]`` of a ``(B, ...)`` draw changes with
+``B``), which would break the exact batch-size invariance of validation
+scores that threefry's counter-based layout provides.
 
 Determinism within one environment is unchanged — rbg draws are a pure
 function of the key for a fixed backend and XLA version — so same-seed

@@ -253,3 +253,35 @@ def test_sample_tasks_distribution():
     vals, counts = np.unique(tasks, return_counts=True)
     assert set(vals) == {1, 3}
     assert abs(counts[0] / 2000 - 0.5) < 0.05
+
+
+def test_fast_rng_changes_values_not_masks():
+    """fast_rng=True (train-path hardware rbg) must alter only the random-
+    REPLACEMENT values; mask positions come from the fused threefry draw
+    and stay identical, and the val path (fast_rng=False) is unaffected."""
+    schema = tiny_schema()
+    x = tiny_inputs(schema=schema, lengths=(5, 5, 5, 5))
+    tasks = jnp.zeros((4,), jnp.int32)  # all 'random' -> replacement path
+    key = jax.random.PRNGKey(7)
+    _, mod_slow, masks_slow = M.preprocess_for_train(
+        x, schema, tasks, key, fast_rng=False
+    )
+    _, mod_fast, masks_fast = M.preprocess_for_train(
+        x, schema, tasks, key, fast_rng=True
+    )
+    for name in masks_slow:
+        np.testing.assert_array_equal(
+            np.asarray(masks_slow[name]), np.asarray(masks_fast[name]), name
+        )
+    # [MASK]-written and untouched slots agree; only replaced slots differ.
+    for c in schema.modeled:
+        if not c.is_sequence:
+            continue
+        a = np.asarray(mod_slow[c.name])
+        b = np.asarray(mod_fast[c.name])
+        diff = a != b
+        if diff.any():
+            # differing slots must be inside the mfp mask (replacements)
+            m = np.asarray(masks_slow[c.name])[..., None]
+            m = np.broadcast_to(m, diff.shape)
+            assert (~diff | m).all(), c.name
