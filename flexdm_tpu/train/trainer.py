@@ -496,9 +496,16 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         def run_epoch(state, epoch):
             # One compiled call per epoch: scan over the epoch's index block,
             # truncated to the host-synchronized step count.
-            block = np.stack(
-                list(cache.epoch_indices(per_host_batch, config.seed, epoch))
-            )[:steps_per_epoch]
+            step_indices = list(
+                cache.epoch_indices(per_host_batch, config.seed, epoch)
+            )
+            if not step_indices:
+                raise ValueError(
+                    f"train split has {cache.num_records} records < batch "
+                    f"size {per_host_batch}; no full batch can be formed "
+                    "(drop_remainder semantics)"
+                )
+            block = np.stack(step_indices)[:steps_per_epoch]
             state, metrics = scan_fn(
                 state, cache.data, jnp.asarray(block), base_key
             )
