@@ -269,3 +269,81 @@ def test_flax_postnorm_block_matches_numpy(crello_spec):
     np.testing.assert_allclose(
         np.asarray(got["top"]), ref, rtol=5e-4, atol=5e-5
     )
+
+
+def numpy_forward_flat(params, modified, schema, num_heads, num_blocks):
+    """Independent NumPy forward for seq_type='flat' (VanillaTransformer,
+    reference model.py:55-71): one token per (element, field) with a learned
+    position embedding (encoder.py:126-135, 200-212), blocks over the S*F
+    stream, per-field head on the split-back tokens (decoder.py:84-89)."""
+    p = params["params"]
+    enc = p["encoder"]
+    seq_mask = np.asarray(get_seq_mask(modified["length"], schema.max_length))
+    B = seq_mask.shape[0]
+    D = None
+
+    fields = []
+    for column in schema.valid_columns():
+        x = np.asarray(modified[column.name])
+        if column.is_categorical:
+            table = np.asarray(enc[f"input_{column.name}"])
+            h = table[x].sum(axis=2)
+        else:
+            special = np.asarray(enc[f"input_{column.name}_special"])
+            h = dense(x, enc[f"input_{column.name}"])
+            h = np.where(np.all(x == MASK_VALUE, -1)[..., None],
+                         special[0][None, None], h)
+            h = np.where(np.all(x == NULL_VALUE, -1)[..., None],
+                         special[1][None, None], h)
+        fields.append(h)
+        D = h.shape[-1]
+    F = len(fields)
+
+    seq = np.stack(fields, axis=2).reshape(B, -1, D)  # (B, S*F, D)
+    mask = np.repeat(seq_mask, F, axis=1)
+    pos = np.asarray(enc["emb_seq_pos"]["embeddings"])[None, : seq.shape[1]]
+    seq = seq + pos
+
+    for i in range(num_blocks):
+        seq = deepsvg_block(seq, p["blocks"][f"seq2seq_{i}"], mask, num_heads)
+
+    outputs = {}
+    per_field = seq.reshape(B, -1, F, D)
+    for fi, column in enumerate(schema.valid_columns()):
+        head = p["decoder"][f"decoder_{column.name}"]
+        out = dense(per_field[:, :, fi, :], head)
+        if column.is_categorical:
+            out = out.reshape(B, -1, column.shape[-1], column.input_dim)
+        else:
+            out = out.reshape(B, -1, column.shape[-1])
+        outputs[column.name] = out
+    return outputs
+
+
+@pytest.mark.parametrize("fixture", ["crello_spec", "rico_spec"])
+def test_flax_flat_seq_matches_numpy_reference(request, fixture):
+    spec = request.getfixturevalue(fixture)
+    schema = spec.schema
+    model = MFPModel(
+        schema, latent_dim=32, num_blocks=2, num_heads=4,
+        attention_impl="xla", seq_type="flat", input_dtype="shuffled_set",
+    )
+    host = next(iter(spec.make_dataset("val", batch_size=4)))
+    batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+    params = init_params(model, batch, seed=0)
+
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    masks = get_initial_masks(schema, seq_mask)
+    masks["width"] = seq_mask
+    modified = preprocess_for_test(batch, schema, masks)
+
+    got = model.apply(params, modified, deterministic=True)
+    expect = numpy_forward_flat(
+        jax.device_get(params), jax.device_get(modified), schema,
+        num_heads=4, num_blocks=2,
+    )
+    for name, ref in expect.items():
+        np.testing.assert_allclose(
+            np.asarray(got[name]), ref, rtol=5e-4, atol=5e-5,
+            err_msg=f"column {name}",
+        )
