@@ -156,3 +156,46 @@ def test_cache_rejects_multiprocess(setup, monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="single-process"):
         DeviceDataCache(loader, mesh=mesh_lib.make_mesh(8))
+
+
+def test_resident_autoreg_elem_matches_streaming(setup):
+    """The resident scan's autoreg elem branch (reorganize-on-gathered-sub)
+    must reproduce the independent streaming implementation
+    (make_elem_step(autoreg=True)) exactly."""
+    from collections import defaultdict
+
+    import jax.numpy as jnp
+
+    from flexdm_tpu.data.pipeline import DeviceDataCache
+    from flexdm_tpu.evaluation import harness as H
+
+    spec, loader, model, params = setup
+    schema = spec.schema
+    S = schema.max_length
+    test_loader = spec.make_dataset("test", batch_size=16)
+
+    # Streaming reference: jitted elem step with autoreg reordering.
+    step, names = H.make_elem_step(
+        model, num_iter=1, sort=False, task_id=None, autoreg=True
+    )
+    total = defaultdict(float)
+    for batch, weight in H._batches(spec.make_dataset("test", batch_size=16)):
+        n = batch["length"].shape[0] * S
+        for start in range(0, n, 64):
+            idx = jnp.arange(start, start + 64, dtype=jnp.int32)
+            H._accumulate(total, names, step(params, batch, idx, weight))
+
+    # Resident path with autoreg=True.
+    cache = DeviceDataCache(test_loader)
+    doc, elem, w = cache.elem_index_blocks(64, S)
+    T = doc.shape[0]
+    xs = (jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w),
+          jnp.arange(T, dtype=jnp.int32))
+    scan_fn, names_r, _ = H._resident_scan(
+        model, "elem", None, 1, False, None, True, None, False
+    )
+    vals = np.asarray(scan_fn(params, cache.data, xs, jax.random.PRNGKey(0)))
+    resident = dict(zip(names_r, vals.tolist()))
+
+    for k in names_r:
+        np.testing.assert_allclose(resident[k], total[k], rtol=1e-4, err_msg=k)
