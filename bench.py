@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
 import tempfile
 import time
@@ -105,9 +106,15 @@ def measure_train(
     t0 = time.perf_counter()
     loss_value = run(steps)
     compile_time = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    loss_value = run(steps)
-    elapsed = time.perf_counter() - t0
+    # Best of 3 timed windows: each window is ONE dispatch + ONE value
+    # fetch, so a transient relay stall (observed: seconds of added
+    # latency when the remote-execution path degrades) inflates a single
+    # window; the minimum is the robust estimate of the true device rate.
+    elapsed = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss_value = run(steps)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     per_chip = mesh.shape["data"]
     return {
         "steps_per_sec": round(steps / elapsed, 3),
@@ -160,19 +167,26 @@ def measure_eval(batch_size=256, repeats=3, test_docs=2048):
             model, params, loader, task, group, cache=dcache,
         )
 
+    import math as _math
+
     run("pos", ("pos", groups["pos"]))  # compile
-    t0 = time.perf_counter()
+    best = _math.inf
     for _ in range(repeats):
+        t0 = time.perf_counter()
         run("pos", ("pos", groups["pos"]))
-    elapsed = time.perf_counter() - t0
-    out = {"eval_docs_per_sec": round(repeats * test_docs / elapsed, 1)}
+        best = min(best, time.perf_counter() - t0)  # stall-robust (see
+        # measure_train): one relay hiccup otherwise poisons the mean
+    out = {"eval_docs_per_sec": round(test_docs / best, 1)}
 
     # elem = one forward per (document, element): N*S replicas; by far the
     # heaviest protocol (reference eval.py:66-90), so it gets its own anchor.
     run("elem", None)  # compile
-    t0 = time.perf_counter()
-    run("elem", None)
-    out["elem_docs_per_sec"] = round(test_docs / (time.perf_counter() - t0), 1)
+    best = _math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run("elem", None)
+        best = min(best, time.perf_counter() - t0)
+    out["elem_docs_per_sec"] = round(test_docs / best, 1)
     return out
 
 
@@ -235,11 +249,12 @@ def measure_attention_s512():
 
         fn = jax.jit(many)
         float(fn(q, k, v))  # compile
-        t0 = time.perf_counter()
-        float(fn(q, k, v))
-        out[f"attn_s512_{impl}_ms"] = round(
-            1000 * (time.perf_counter() - t0) / iters, 2
-        )
+        best = math.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(fn(q, k, v))
+            best = min(best, time.perf_counter() - t0)
+        out[f"attn_s512_{impl}_ms"] = round(1000 * best / iters, 2)
     return out
 
 
