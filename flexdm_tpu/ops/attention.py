@@ -25,7 +25,8 @@ kernels tile with 128-row blocks.
 ``impl='xla'`` is the portable reference path (used on CPU and in parity
 tests); ``impl='pallas'`` is the TPU fast path; ``impl='auto'`` picks by
 backend and S (measured crossover: XLA fusion wins at document scale,
-Pallas from S > 512 up).  From S=4096 the backward switches to 4D-grid
+Pallas from S >= 512 up unless tile padding would waste >12.5% of the
+kernel — see the dispatch rule in ``dot_product_attention``).  From S=4096 the backward switches to 4D-grid
 streaming kernels whose buffers are all block-sized — the resident form
 above overflows the 16 MB VMEM scoped limit there.
 """
@@ -546,19 +547,25 @@ def dot_product_attention(
 
     if impl == "auto":
         # Measured on v5e, fwd + FULL bwd (all three gradients consumed),
-        # fetch-verified (B=8, H=8, Dh=64, ms/iter, pallas vs XLA):
-        # S=256 1.67/1.84, S=512 1.84/1.87, S=1024 2.89/5.01,
-        # S=2048 6.31/14.81, S=4096 21.4/53.4.  XLA's fused attention wins
-        # at document scale (S <= ~512 is a tie within run noise, and the
-        # small fixed grid overhead isn't worth it); the flash kernels take
-        # over from S > 512 — 1.7x at S=1024, 2.3x at S=2048, 2.5x at
-        # S=4096 — and are the memory-scaling path either way (O(S·Dh) HBM
-        # on both passes; XLA's S^2 probabilities stop fitting long before
-        # the kernels do).
+        # fetch-verified via tools/bench_attention.py (ms/iter,
+        # pallas vs XLA).  B=8/H=8/Dh=64: S=256 1.67/1.84, S=512 1.84/1.87,
+        # S=1024 2.89/5.01, S=2048 6.31/14.81, S=4096 21.4/53.4.
+        # B=64/H=8/Dh=32 (the flat-seq family): S=512 6.61/8.61,
+        # S=650 16.48/14.65, S=768 14.05/16.65, S=1024 15.09/29.1.
+        # Two rules fall out: (a) XLA's fused attention wins at document
+        # scale (S < 512); (b) past that the flash kernels win EXCEPT when
+        # ``_pad_len`` forces large padding waste — the kernel runs the
+        # padded shape while XLA runs the exact one (S=650 pads to 768:
+        # +18% rows made pallas 0.89x there, while exact-tile 512/768/1024
+        # are 1.2-1.9x wins).  So: pallas from S >= 512 when padding waste
+        # is <= 12.5%, else XLA.  Either way the kernels remain the
+        # memory-scaling path (O(S*Dh) HBM on both passes; XLA's S^2
+        # probabilities stop fitting long before the kernels do).
         use_pallas = (
             pltpu is not None
             and jax.default_backend() == "tpu"
-            and s > 512
+            and s >= 512
+            and _pad_len(s) * 8 <= s * 9
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "xla":
