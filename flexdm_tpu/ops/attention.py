@@ -518,6 +518,13 @@ def _pad_len(s: int) -> int:
     return -(-s // 256) * 256
 
 
+def _prefer_pallas(s: int) -> bool:
+    """The measured dispatch rule (see the comment in
+    ``dot_product_attention``): flash kernels from S >= 512, unless tile
+    padding would waste more than 12.5% of the kernel's rows."""
+    return s >= 512 and _pad_len(s) * 8 <= s * 9
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -564,8 +571,7 @@ def dot_product_attention(
         use_pallas = (
             pltpu is not None
             and jax.default_backend() == "tpu"
-            and s >= 512
-            and _pad_len(s) * 8 <= s * 9
+            and _prefer_pallas(s)
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "xla":

@@ -180,3 +180,27 @@ def test_streaming_backward_matches_xla(monkeypatch):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
             err_msg=f"d{name}",
         )
+
+
+def test_auto_dispatch_rule():
+    """Pin the measured dispatch table (tools/bench_attention.py, v5e):
+    flash kernels from S >= 512 EXCEPT when tile padding wastes >12.5%
+    of the kernel's rows (S=650 pads to 768 and measured 0.89x vs XLA;
+    exact-tile 512/768/1024 measured 1.2-1.9x wins)."""
+    from flexdm_tpu.ops.attention import _pad_len, _prefer_pallas
+
+    expected = {
+        50: False,    # document scale: XLA fusion wins
+        256: False,
+        511: False,
+        512: True,    # exact tile
+        576: False,   # pads to 768: 33% waste
+        650: False,   # the flat-seq shape: pads to 768, 18% waste
+        704: True,    # pads to 768: 9% waste
+        768: True,
+        1024: True,
+        2048: True,
+        4096: True,   # streaming-backward regime, still pallas
+    }
+    for s, want in expected.items():
+        assert _prefer_pallas(s) == want, (s, _pad_len(s))

@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--attention-impl", default="auto")
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--fine", action="store_true",
+                        help="also time encoder/blocks/decoder/loss "
+                             "individually (5 extra compiles)")
     args = parser.parse_args(argv)
 
     import jax
@@ -138,6 +141,95 @@ def main(argv=None):
         leaves = jax.tree.leaves(updates)
         return sum(jnp.sum(x.astype(jnp.float32)[..., :1]) for x in leaves)
 
+    fine = {}
+    if args.fine:
+        # Fine-grained forward breakdown: time the model and each stage on
+        # FIXED preprocessed inputs (masking excluded).  Per-iteration
+        # dropout keys keep every iteration's work live in the scan.
+        from flexdm_tpu.models.encoder import Encoder
+        from flexdm_tpu.models.decoder import Decoder
+        from flexdm_tpu.models.losses import compute_mfp_loss
+        from flexdm_tpu.models.transformer import Blocks
+
+        tasks0 = sample_tasks(jax.random.PRNGKey(1), B, tc.task_probs)
+        targets0, modified0, masks0 = jax.jit(
+            lambda k: preprocess_for_train(batch, schema, tasks0, k)
+        )(jax.random.PRNGKey(2))
+
+        def seg_model(key, state):
+            out = model.apply(
+                state.params, modified0, False, rngs={"dropout": key}
+            )
+            return sum(
+                jnp.sum(v.astype(jnp.float32)[..., :1]) for v in out.values()
+            )
+
+        enc = Encoder(
+            schema, latent_dim=args.latent_dim, fusion="add",
+            dropout=0.1, dtype=args.dtype, name="encoder",
+        )
+        blocks = Blocks(
+            latent_dim=args.latent_dim, num_blocks=args.num_blocks,
+            block_type="deepsvg", num_heads=8, dropout=0.1,
+            attention_impl=args.attention_impl, dtype=args.dtype,
+            remat=args.remat, name="blocks",
+        )
+        dec = Decoder(schema, latent_dim=args.latent_dim, name="decoder",
+                      dtype=args.dtype)
+        p = state.params["params"]
+        enc_p, blocks_p, dec_p = (
+            {"params": p["encoder"]}, {"params": p["blocks"]},
+            {"params": p["decoder"]},
+        )
+        seq0, seq_mask0 = jax.jit(
+            lambda: enc.apply(
+                enc_p, modified0, True, rngs={"dropout": jax.random.PRNGKey(3)}
+            )
+        )()
+
+        def seg_encoder(key, _):
+            s, _m = enc.apply(enc_p, modified0, False, rngs={"dropout": key})
+            return jnp.sum(s.astype(jnp.float32)[..., :1])
+
+        def seg_blocks(key, _):
+            h = blocks.apply(
+                blocks_p,
+                seq0 + jax.random.uniform(key, (), seq0.dtype) * 1e-30,
+                seq_mask0, deterministic=False, rngs={"dropout": key},
+            )
+            return jnp.sum(h.astype(jnp.float32)[..., :1])
+
+        h0 = jax.jit(
+            lambda: blocks.apply(blocks_p, seq0, seq_mask0,
+                                 deterministic=True)
+        )()
+        outputs0 = jax.jit(
+            lambda: model.apply(state.params, modified0, True)
+        )()
+
+        def seg_decoder(key, _):
+            out = dec.apply(
+                dec_p, h0 + jax.random.uniform(key, (), h0.dtype) * 1e-30,
+                False, rngs={"dropout": key},
+            )
+            return sum(
+                jnp.sum(v.astype(jnp.float32)[..., :1]) for v in out.values()
+            )
+
+        def seg_loss(key, _):
+            eps = jax.random.uniform(key, (), jnp.float32) * 1e-30
+            out = {k2: v + eps for k2, v in outputs0.items()}
+            loss, _m = compute_mfp_loss(schema, targets0, out, masks0)
+            return loss
+
+        fine = {
+            "model_fwd_ms": timed(seg_model, state),
+            "encoder_ms": timed(seg_encoder, state),
+            "blocks_ms": timed(seg_blocks, state),
+            "decoder_ms": timed(seg_decoder, state),
+            "loss_ms": timed(seg_loss, state),
+        }
+
     # Full step: the state must be CARRIED through the scan (as the trainer
     # does) — returning only the loss would let XLA drop the whole update.
     from flexdm_tpu.train import make_train_step
@@ -146,12 +238,20 @@ def main(argv=None):
 
     def timed_full():
         def many(state, batch):
+            # Vary the key per iteration: with a fixed key the masking
+            # subgraph is loop-invariant and XLA hoists it out of the
+            # scan, understating the full step (the trainer folds the
+            # step counter into the key the same way).
             def body(st, i):
-                st2, metrics = base_step(st, batch, jax.random.PRNGKey(0))
+                st2, metrics = base_step(
+                    st, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
+                )
                 return st2, None
 
             st, _ = jax.lax.scan(body, state, jnp.arange(args.iters - 1))
-            _, metrics = base_step(st, batch, jax.random.PRNGKey(0))
+            _, metrics = base_step(
+                st, batch, jax.random.PRNGKey(args.iters)
+            )
             return metrics["loss"]
 
         m = jax.jit(many)
@@ -170,6 +270,7 @@ def main(argv=None):
         "forward_ms": timed(seg_forward, state, batch),
         "forward_backward_ms": timed(seg_grad, state, batch),
         "optimizer_ms": timed(seg_opt, state, grads),
+        **fine,
         "full_step_ms": timed_full(),
     }
     out["steps_per_sec"] = round(1000.0 / out["full_step_ms"], 2)
