@@ -59,8 +59,10 @@ def _unit(rng: np.random.Generator, dim: int) -> List[float]:
     return [float(x) for x in v]
 
 
-def _crello_doc(rng: np.random.Generator, doc_id: int) -> bytes:
-    n = int(rng.integers(1, 16))
+def _crello_doc(
+    rng: np.random.Generator, doc_id: int, num_elements: int = 0
+) -> bytes:
+    n = num_elements or int(rng.integers(1, 16))
     type_probs = np.array([0.3, 0.3, 0.2, 0.1, 0.05, 0.05])
     context = {
         "id": [f"doc{doc_id:06d}".encode()],
@@ -114,8 +116,10 @@ def _crello_doc(rng: np.random.Generator, doc_id: int) -> bytes:
     return example_proto.encode_sequence_example(context, fl)
 
 
-def _rico_doc(rng: np.random.Generator, doc_id: int) -> bytes:
-    n = int(rng.integers(1, 16))
+def _rico_doc(
+    rng: np.random.Generator, doc_id: int, num_elements: int = 0
+) -> bytes:
+    n = num_elements or int(rng.integers(1, 16))
     context = {"length": [n]}
     fl: Dict[str, List] = {
         k: []
@@ -150,12 +154,22 @@ def generate(
     num_test: int = 64,
     seed: int = 0,
     shards_per_split: int = 2,
+    fixed_length: int = 0,
 ) -> str:
-    """Write a synthetic data directory; returns ``out_dir``."""
+    """Write a synthetic data directory; returns ``out_dir``.
+
+    ``fixed_length``: give every document exactly this many elements
+    (0 = random 1..15).  Golden tests use the schema max so that
+    in-batch padding coincides with our static padding — the reference
+    stack derives tensor widths from the longest in-batch document.
+    """
     assert dataset in ("crello", "rico"), dataset
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    make_doc = _crello_doc if dataset == "crello" else _rico_doc
+    _doc = _crello_doc if dataset == "crello" else _rico_doc
+
+    def make_doc(r, i):
+        return _doc(r, i, num_elements=fixed_length)
 
     counts = {"train": num_train, "val": num_val, "test": num_test}
     doc_id = 0
