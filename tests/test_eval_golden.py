@@ -7,7 +7,9 @@ converted checkpoint — and asserts our ``evaluate_task`` harness produces
 the same per-field Σnum/Σden scores over a whole test split.  This is the
 switch-over proof for evaluation: same weights + same data dir => same CSV
 numbers, for the deterministic task modes (attribute groups and ``elem``;
-``random`` draws RNG and cannot match across frameworks).
+``random`` draws RNG and cannot match across frameworks).  Runs on both
+schemas — rico additionally pins the sorted-``pos`` protocol
+(``sort_inputs`` on targets and logits, reference eval.py:104-106).
 
 Shape note: the reference stack sizes every tensor off the longest in-batch
 document (``get_seq_mask`` without ``maxlen``, reference mask.py:21-33),
@@ -78,31 +80,32 @@ def ref_modules():
     }
 
 
-@pytest.fixture(scope="module")
-def golden_setup(tmp_path_factory, ref_modules):
+@pytest.fixture(scope="module", params=["crello", "rico"])
+def golden_setup(request, tmp_path_factory, ref_modules):
     """Converted-checkpoint model pair over a full-length synthetic split."""
     from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
     from flexdm_tpu.models import MFPModel
     from flexdm_tpu.train import init_params
     from tools.convert_tf_checkpoint import convert, load_tf_variables
 
+    dataset = request.param
     tf.random.set_seed(11)
-    data_dir = tmp_path_factory.mktemp("crello_full")
+    data_dir = tmp_path_factory.mktemp(f"{dataset}_probe")
     spec_probe = DatasetSpec(
-        "crello",
-        synthetic.generate("crello", str(data_dir), 8, 4, 8, seed=3,
+        dataset,
+        synthetic.generate(dataset, str(data_dir), 8, 4, 8, seed=3,
                            fixed_length=1),
         batch_size=BATCH,
     )
     max_len = spec_probe.schema.max_length
     # Regenerate with every document at exactly max_length elements so the
     # reference's in-batch padding equals our static padding (module doc).
-    data_dir2 = tmp_path_factory.mktemp("crello_full2")
+    data_dir2 = tmp_path_factory.mktemp(f"{dataset}_full")
     synthetic.generate(
-        "crello", str(data_dir2), 8, 4, 8, seed=3, fixed_length=max_len
+        dataset, str(data_dir2), 8, 4, 8, seed=3, fixed_length=max_len
     )
 
-    ref_spec = ref_modules["DataSpec"]("crello", str(data_dir2),
+    ref_spec = ref_modules["DataSpec"](dataset, str(data_dir2),
                                        batch_size=BATCH)
     input_columns = ref_spec.make_input_columns()
     model_columns = {
@@ -117,7 +120,7 @@ def golden_setup(tmp_path_factory, ref_modules):
         l2=None,
     )
 
-    spec = DatasetSpec("crello", str(data_dir2), batch_size=BATCH)
+    spec = DatasetSpec(dataset, str(data_dir2), batch_size=BATCH)
     batch = split_device_batch(
         next(iter(spec.make_dataset("test", batch_size=BATCH)))
     )
@@ -149,6 +152,7 @@ def golden_setup(tmp_path_factory, ref_modules):
     params, report = convert(load_tf_variables(prefix), template)
     assert report["unfilled"] == [], report["unfilled"]
     return {
+        "dataset": dataset,
         "spec": spec,
         "model": model,
         "params": params,
@@ -197,7 +201,15 @@ def _ref_evaluate(setup, task_mode, group_keys):
         prediction = ref["merge"](
             dict(example), model_columns, dict(masks), dict(outputs)
         )
-        (scores,) = loss_layer((dict(example), prediction, masks))
+        if setup["dataset"] == "rico" and task_mode == "pos":
+            # rico scores 'pos' on lexicographically sorted elements
+            # (reference eval.py:104-106, sort_pos).
+            sort_flag = tf.fill((int(example["length"].shape[0]),), True)
+            (scores,) = loss_layer(
+                (dict(example), prediction, masks), False, sort_flag
+            )
+        else:
+            (scores,) = loss_layer((dict(example), prediction, masks))
         for k, v in scores.items():
             total[k] += float(v.numpy())
 
@@ -220,6 +232,8 @@ def test_eval_scores_match_reference(task, golden_setup):
     if task == "elem":
         group, group_keys = None, None
     else:
+        if task not in groups:
+            pytest.skip(f"{setup['dataset']} has no {task!r} group")
         group_keys = tuple(groups[task])
         group = (task, group_keys)
 
