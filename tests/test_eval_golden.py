@@ -221,6 +221,71 @@ def _ref_evaluate(setup, task_mode, group_keys):
     return ans
 
 
+def test_training_losses_match_reference(golden_setup):
+    """Per-field training losses (the add_loss objective) match the
+    reference LossLayer on identical masks (reference metrics.py:240-297:
+    sum over features/timesteps, mean over batch)."""
+    import jax.numpy as jnp
+
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.models.losses import compute_mfp_loss
+    from flexdm_tpu.models.masking import (
+        get_initial_masks,
+        get_seq_mask,
+        merge_inputs_and_prediction,
+        preprocess_for_test,
+    )
+
+    setup = golden_setup
+    ref = setup["ref"]
+    schema = setup["spec"].schema
+    loader = setup["spec"].make_dataset("test", batch_size=BATCH)
+    inputs = {
+        k: jnp.asarray(v)
+        for k, v in split_device_batch(next(iter(loader))).items()
+    }
+
+    seq_mask = get_seq_mask(inputs["length"], schema.max_length)
+    masks = dict(get_initial_masks(schema, seq_mask))
+    for name in schema.attribute_groups["pos"]:
+        masks[name] = seq_mask
+
+    modified = preprocess_for_test(inputs, schema, masks)
+    out = setup["model"].apply(setup["params"], modified, deterministic=True)
+    merged = merge_inputs_and_prediction(inputs, schema, masks, out)
+    _, metrics = compute_mfp_loss(schema, inputs, merged, masks)
+
+    example = {
+        k: tf.convert_to_tensor(np.asarray(v)) for k, v in inputs.items()
+    }
+    tf_masks = {
+        k: tf.convert_to_tensor(np.asarray(v))
+        for k, v in masks.items()
+        if k in setup["model_columns"]
+    }
+    tf_modified = ref["preprocess"](
+        dict(example), setup["model_columns"], dict(tf_masks)
+    )
+    tf_out = setup["ref_model"](tf_modified, training=False)
+    tf_merged = ref["merge"](
+        dict(example), setup["model_columns"], dict(tf_masks), dict(tf_out)
+    )
+    loss_layer = ref["LossLayer"](setup["input_columns"])
+    loss_layer((dict(example), tf_merged, tf_masks))
+    ref_losses = {
+        m.name: float(m.result())
+        for m in loss_layer.metrics
+        if m.name.endswith("_loss")
+    }
+
+    assert ref_losses, "reference LossLayer reported no losses"
+    for name, value in ref_losses.items():
+        np.testing.assert_allclose(
+            float(metrics[name]), value, rtol=5e-4, atol=5e-4,
+            err_msg=name,
+        )
+
+
 @pytest.mark.parametrize("task", ["pos", "txt", "elem"])
 def test_eval_scores_match_reference(task, golden_setup):
     from flexdm_tpu.evaluation.harness import evaluate_task
