@@ -209,6 +209,69 @@ def measure_decode(test_docs=2048):
     return {"decode_docs_per_sec": round(n / dt, 1)}
 
 
+def measure_maskgit(batch_size=256, num_iter=4, iters=10):
+    """MaskGIT iterative-decode throughput ('pos' masks, num_iter rounds).
+
+    The whole decode is ONE compiled XLA program (models/mfp.py:252 —
+    static unroll); the reference loops in Python with per-round ``.numpy()``
+    fetches (reference mfp.py:141-207, and is demo-dead there, PARITY §2.7).
+    Bundled in a ``lax.scan`` with a perturbed input so XLA cannot hoist
+    repeats; barriered by a value fetch (see module NOTE)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexdm_tpu.data import split_device_batch
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.models.masking import (
+        get_initial_masks,
+        get_seq_mask,
+        preprocess_for_test,
+    )
+    from flexdm_tpu.models.mfp import iterative_decode
+    from flexdm_tpu.train import init_params
+
+    spec = _spec(batch_size)
+    model = MFPModel(spec.schema, latent_dim=256, num_blocks=4)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in split_device_batch(
+            next(iter(spec.make_dataset("train", batch_size=batch_size)))
+        ).items()
+    }
+    params = init_params(model, batch, seed=0)
+    schema = spec.schema
+    seq_mask = get_seq_mask(batch["length"], schema.max_length)
+    masks = dict(get_initial_masks(schema, seq_mask))
+    for name in schema.attribute_groups["pos"]:
+        masks[name] = seq_mask
+    modified = preprocess_for_test(batch, schema, masks)
+
+    def bundled(params, inputs, modified):
+        def body(c, i):
+            m = dict(modified)
+            # tiny nonzero carry-dependent perturbation: no hoisting
+            m["image_embedding"] = m["image_embedding"] + c * 1e-30
+            out = iterative_decode(
+                model, params, masks, inputs, m, num_iter
+            )
+            return c + jnp.sum(out["left"][0, 0, 0, :1]) * 1e-9, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return c
+
+    fn = jax.jit(bundled)
+    float(fn(params, batch, modified))  # compile
+    best = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(fn(params, batch, modified))
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "maskgit4_docs_per_sec": round(batch_size * iters / best, 1),
+        "maskgit4_ms_per_batch": round(1000 * best / iters, 2),
+    }
+
+
 def measure_attention_s512():
     """Flash kernel vs XLA at S=512 (fwd+bwd, ms/iter, fetch-verified)."""
     import jax
@@ -362,6 +425,7 @@ def main() -> None:
             ("scaled", _scaled),
             ("flat", _flat),
             ("eval", measure_eval),
+            ("maskgit", measure_maskgit),
             ("attn", measure_attention_s512),
             ("decode", measure_decode),
         ):
