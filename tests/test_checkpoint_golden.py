@@ -162,6 +162,79 @@ def test_tf_checkpoint_round_trip(dataset, request, tmp_path, ref_modules):
         )
 
 
+@pytest.mark.parametrize("context", ["canvas", "id"])
+def test_tf_checkpoint_round_trip_context_models(
+    context, request, tmp_path, ref_modules
+):
+    """Context-conditioned variants also round-trip: the converter maps the
+    canvas-aggregation / task-embedding variables (reference
+    encoder.py:228-249) and logits match the reference keras model."""
+    import jax.numpy as jnp
+
+    from flexdm_tpu.data import DatasetSpec, split_device_batch
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.train import init_params
+    from tools.convert_tf_checkpoint import convert, load_tf_variables
+
+    RefDataSpec, RefModel = ref_modules
+    data_dir = request.getfixturevalue("crello_dir")
+    tf.random.set_seed(5)
+
+    ref_spec = RefDataSpec("crello", data_dir, batch_size=4)
+    input_columns = ref_spec.make_input_columns()
+    ref_model = RefModel(
+        input_columns=input_columns,
+        num_blocks=2,
+        block_type="deepsvg",
+        context=context,
+        input_dtype="set",
+        latent_dim=32,
+        dropout=0.1,
+        l2=None,
+    )
+
+    spec = DatasetSpec("crello", data_dir, batch_size=4)
+    modified = dict(_modified_inputs(spec))
+    if context == "id":
+        # task-id conditioning consumes the `task` input (reference
+        # encoder.py:243-249); preprocess emits it as a (B, 1) float.
+        modified["task"] = jnp.zeros((4, 1), jnp.float32)
+    tf_inputs = {
+        k: tf.convert_to_tensor(np.asarray(v)) for k, v in modified.items()
+    }
+    out_tf = ref_model(tf_inputs, training=False)
+
+    class _Root(tf.keras.Model):
+        def __init__(self, inner):
+            super().__init__()
+            self.model = inner
+
+    root = _Root(ref_model)
+    prefix = str(tmp_path / "ck")
+    root.save_weights(prefix)
+
+    model = MFPModel(
+        spec.schema, latent_dim=32, num_blocks=2, num_heads=8,
+        context=context, attention_impl="xla",
+    )
+    sample = split_device_batch(
+        next(iter(spec.make_dataset("test", batch_size=2)))
+    )
+    template = init_params(model, sample, seed=0)
+    params, report = convert(load_tf_variables(prefix), template)
+    assert report["unfilled"] == [], report["unfilled"]
+
+    out_jax = model.apply(params, modified, True)
+    for key in sorted(out_tf.keys()):
+        np.testing.assert_allclose(
+            np.asarray(out_jax[key]),
+            out_tf[key].numpy(),
+            atol=1e-4,
+            rtol=1e-4,
+            err_msg=f"{context}/{key}",
+        )
+
+
 def test_unmatched_reference_variables_are_only_bookkeeping(
     request, tmp_path, ref_modules
 ):
