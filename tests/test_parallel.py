@@ -152,9 +152,12 @@ def test_tensor_parallel_params_actually_sharded(setup):
     assert mu_q[0].addressable_shards[0].data.shape[-1] == q.shape[-1] // 2
 
 
-def test_tensor_parallel_matches_data_parallel(setup):
-    """Training under model_parallel=2 must reproduce pure-DP results
-    bit-close (same math, different layout)."""
+@pytest.mark.parametrize("model_parallel", [2, 4])
+def test_tensor_parallel_matches_data_parallel(setup, model_parallel):
+    """Training under tensor parallelism must reproduce pure-DP results
+    bit-close (same math, different layout).  mp=4 splits every head onto
+    its own shard group (num_heads=4) — the deepest split this config
+    supports."""
     import optax
 
     spec, model, tc, _, state, batch = setup
@@ -164,7 +167,7 @@ def test_tensor_parallel_matches_data_parallel(setup):
         step=jnp.asarray(0),
     )
     mesh_dp = mesh_lib.make_mesh(8)
-    mesh_tp = mesh_lib.make_mesh(8, model_parallel=2)
+    mesh_tp = mesh_lib.make_mesh(8, model_parallel=model_parallel)
 
     state_dp, metrics_dp = _run_steps(model, tc, sgd, state, batch, mesh_dp)
     state_tp, metrics_tp = _run_steps(model, tc, sgd, state, batch, mesh_tp)
