@@ -7,7 +7,8 @@ regularizers attached to every Dense kernel/bias and Embedding table
 
 * ``clipnorm`` clips each gradient tensor *individually* (not the global
   norm) before Adam;
-* keras Adam uses ``epsilon = 1e-7`` (optax defaults to 1e-8);
+* keras Adam uses ``epsilon = 1e-7`` (optax defaults to 1e-8) AND adds it
+  to the sqrt of the uncorrected second moment (``scale_by_keras_adam``);
 * the L2 penalty ``l2 * sum(w^2)`` enters the loss (so it is clipped and
   adapted like any other gradient), and LayerNorm parameters are exempt.
 """
@@ -41,6 +42,53 @@ def clip_by_per_leaf_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_by_keras_adam(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """Adam with keras's exact epsilon placement.
+
+    keras (legacy optimizer_v2 and tf_keras alike) computes
+
+        alpha_t = sqrt(1 - b2^t) / (1 - b1^t)
+        theta  -= lr * alpha_t * m_t / (sqrt(v_t) + eps)
+
+    i.e. epsilon is added to the sqrt of the UNcorrected second moment,
+    whereas ``optax.adam`` uses ``m_hat / (sqrt(v_hat) + eps)``.  The two
+    differ by an effective epsilon factor ``1/sqrt(1 - b2^t)`` (~32x at
+    t=1) — invisible for healthy gradients but it measurably shifts
+    parameters with tiny gradients.  The step-for-step training golden
+    (tests/test_train_golden.py) requires the keras form.  State reuses
+    ``optax.ScaleByAdamState`` so checkpoints are layout-compatible.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu,
+            updates,
+        )
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        out = jax.tree.map(
+            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     clipnorm: Optional[float] = 1.0,
@@ -48,9 +96,8 @@ def make_optimizer(
     chain = []
     if clipnorm is not None:
         chain.append(clip_by_per_leaf_norm(clipnorm))
-    chain.append(
-        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
-    )
+    chain.append(scale_by_keras_adam(b1=0.9, b2=0.999, eps=1e-7))
+    chain.append(optax.scale(-learning_rate))
     return optax.chain(*chain)
 
 

@@ -1,0 +1,215 @@
+"""Step-for-step TRAINING parity golden vs the reference's own stack.
+
+Starting from the SAME weights (a genuine converted keras checkpoint), run
+several optimizer steps on the SAME batches through
+
+  * the reference: ``preprocess_for_train`` -> keras ``Model`` ->
+    ``LossLayer`` (its ``add_loss`` total) -> ``tf.GradientTape`` ->
+    keras ``Adam(1e-4, clipnorm=1.0)`` — the exact ``model.fit`` semantics
+    of reference train.py:71-97, written out as a manual loop;
+  * ours: ``make_train_step`` (fused preprocess/forward/loss/Adam).
+
+and assert the per-step losses agree and the final parameters produce
+matching logits.  Randomness is neutralized structurally, not by seed
+matching: ``masking_method='pos'`` makes the task mux constant and the
+'pos' branch (``feat_masking``) is RNG-free, dropout is 0, ``l2`` off,
+``input_dtype='set'`` (no shuffling).  The RNG draws both stacks still
+make (for the mux's discarded branches) never reach the selected path.
+
+This pins the whole training contract at once: masking mux semantics,
+loss weighting, gradient flow, keras clipnorm (per-variable, not global)
+and Adam epsilon placement.  Shape note: full-length documents, as in
+test_eval_golden.py.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF_PATH = "/root/reference/src/mfp"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+)
+
+BATCH = 4
+STEPS = 4
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    had_flag = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    stub = sys.modules.setdefault(
+        "tensorflow_probability", types.ModuleType("tensorflow_probability")
+    )
+    if not hasattr(stub, "distributions"):
+        # canvasvae.py dereferences these at import time; none runs here.
+        dists = types.ModuleType("tensorflow_probability.distributions")
+        for name in ("Bernoulli", "Categorical", "MultivariateNormalDiag"):
+            setattr(dists, name, type(name, (), {}))
+        stub.distributions = dists
+    sys.path.insert(0, REF_PATH)
+    try:
+        from mfp.data.spec import DataSpec as RefDataSpec
+        from mfp.models.masking import get_task_names
+        from mfp.models.metrics import LossLayer as RefLossLayer
+        from mfp.models.mfp import (
+            preprocess_for_train as ref_preprocess_for_train,
+        )
+        from mfp.models.model import Model as RefModel
+    finally:
+        sys.path.remove(REF_PATH)
+        sys.dont_write_bytecode = had_flag
+    return (
+        RefDataSpec,
+        RefModel,
+        RefLossLayer,
+        ref_preprocess_for_train,
+        get_task_names,
+    )
+
+
+def test_training_steps_match_reference(tmp_path_factory, ref_modules):
+    import jax
+    import jax.numpy as jnp
+
+    from flexdm_tpu.data import DatasetSpec, split_device_batch, synthetic
+    from flexdm_tpu.models import MFPModel, make_task_config
+    from flexdm_tpu.train import (
+        TrainState,
+        init_params,
+        make_optimizer,
+        make_train_step,
+    )
+    from tools.convert_tf_checkpoint import convert, load_tf_variables
+
+    (RefDataSpec, RefModel, RefLossLayer, ref_preprocess, get_task_names) = (
+        ref_modules
+    )
+    tf.random.set_seed(23)
+
+    # Full-length corpus: reference tensor widths == our static padding.
+    probe_dir = tmp_path_factory.mktemp("probe")
+    probe = DatasetSpec(
+        "crello",
+        synthetic.generate("crello", str(probe_dir), 8, 4, 4, seed=9,
+                           fixed_length=1),
+        batch_size=BATCH,
+    )
+    data_dir = tmp_path_factory.mktemp("full")
+    synthetic.generate(
+        "crello", str(data_dir), 16, 4, 4, seed=9,
+        fixed_length=probe.schema.max_length,
+    )
+
+    ref_spec = RefDataSpec("crello", str(data_dir), batch_size=BATCH)
+    input_columns = ref_spec.make_input_columns()
+    model_columns = {
+        k: v for k, v in input_columns.items() if not v.get("demo_only", False)
+    }
+    ref_model = RefModel(
+        input_columns=input_columns,
+        num_blocks=2,
+        block_type="deepsvg",
+        latent_dim=32,
+        dropout=0.0,
+        l2=None,
+    )
+
+    spec = DatasetSpec("crello", str(data_dir), batch_size=BATCH)
+    schema = spec.schema
+    batches = [
+        {
+            k: jnp.asarray(v)
+            for k, v in split_device_batch(b).items()
+        }
+        for b in spec.make_dataset("train", batch_size=BATCH)
+    ]
+    assert len(batches) >= 2  # trajectory crosses batch boundaries
+
+    pos_id = get_task_names(input_columns).index("pos")
+    assert pos_id == schema.task_names.index("pos")  # same task-id layout
+    tasks = tf.fill((BATCH,), pos_id)
+
+    # Build reference variables, checkpoint them, convert.
+    tf_b0 = {
+        k: tf.convert_to_tensor(np.asarray(v)) for k, v in batches[0].items()
+    }
+    _, modified0, _ = ref_preprocess(dict(tf_b0), model_columns, tasks)
+    _ = ref_model(modified0, training=False)
+
+    class _Root(tf.keras.Model):
+        def __init__(self, inner):
+            super().__init__()
+            self.model = inner
+
+    prefix = str(tmp_path_factory.mktemp("ck") / "ck")
+    _Root(ref_model).save_weights(prefix)
+
+    model = MFPModel(
+        schema, latent_dim=32, num_blocks=2, num_heads=8, dropout=0.0,
+        attention_impl="xla",
+    )
+    template = init_params(model, batches[0], seed=0)
+    params, report = convert(load_tf_variables(prefix), template)
+    assert report["unfilled"] == [], report["unfilled"]
+
+    # --- reference manual training loop (train.py:71-97 semantics) ------
+    optimizer = tf.keras.optimizers.Adam(learning_rate=1e-4, clipnorm=1.0)
+    ref_losses = []
+    for step in range(STEPS):
+        # fresh layer each step: standalone keras layers accumulate
+        # eager losses across calls
+        loss_layer = RefLossLayer(input_columns)
+        b = batches[step % len(batches)]
+        tf_b = {k: tf.convert_to_tensor(np.asarray(v)) for k, v in b.items()}
+        with tf.GradientTape() as tape:
+            targets, modified, masks = ref_preprocess(
+                dict(tf_b), model_columns, tasks
+            )
+            outputs = ref_model(modified, training=True)
+            loss_layer((targets, outputs, masks), training=True)
+            loss = tf.add_n(loss_layer.losses)
+        variables = ref_model.trainable_variables
+        grads = tape.gradient(loss, variables)
+        optimizer.apply_gradients(zip(grads, variables))
+        ref_losses.append(float(loss))
+
+    # --- our fused step --------------------------------------------------
+    tc = make_task_config(schema, "pos")
+    tx = make_optimizer(1e-4, clipnorm=1.0)
+    step_fn = jax.jit(make_train_step(model, tc, tx, l2=None))
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0)
+    )
+    key = jax.random.PRNGKey(7)  # structurally irrelevant (see module doc)
+    our_losses = []
+    for step in range(STEPS):
+        state, metrics = step_fn(state, batches[step % len(batches)], key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        our_losses, ref_losses, rtol=2e-4, err_msg="loss trajectory"
+    )
+
+    # Final parameters must still produce matching logits.
+    _, modified_eval, _ = ref_preprocess(dict(tf_b0), model_columns, tasks)
+    out_tf = ref_model(modified_eval, training=False)
+    modified_jax = {
+        k: jnp.asarray(v.numpy()) for k, v in modified_eval.items()
+    }
+    out_jax = model.apply(state.params, modified_jax, True)
+    for name in sorted(out_tf.keys()):
+        np.testing.assert_allclose(
+            np.asarray(out_jax[name]),
+            out_tf[name].numpy(),
+            atol=5e-4,
+            rtol=1e-3,
+            err_msg=f"post-training logits: {name}",
+        )
