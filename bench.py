@@ -214,7 +214,8 @@ def measure_maskgit(batch_size=256, num_iter=4, iters=10):
 
     The whole decode is ONE compiled XLA program (models/mfp.py:252 —
     static unroll); the reference loops in Python with per-round ``.numpy()``
-    fetches (reference mfp.py:141-207, and is demo-dead there, PARITY §2.7).
+    fetches (reference mfp.py:141-207; upstream it only survives batch-1
+    elem eval, PARITY §2.7).
     Bundled in a ``lax.scan`` with a perturbed input so XLA cannot hoist
     repeats; barriered by a value fetch (see module NOTE)."""
     import jax

@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Union
 
 import numpy as np
+import yaml
 
 from . import example_proto, tfrecord
 
@@ -154,16 +155,22 @@ def generate(
     num_test: int = 64,
     seed: int = 0,
     shards_per_split: int = 2,
-    fixed_length: int = 0,
+    fixed_length: Union[int, str] = 0,
 ) -> str:
     """Write a synthetic data directory; returns ``out_dir``.
 
     ``fixed_length``: give every document exactly this many elements
-    (0 = random 1..15).  Golden tests use the schema max so that
-    in-batch padding coincides with our static padding — the reference
-    stack derives tensor widths from the longest in-batch document.
+    (0 = random 1..15; the string ``"max"`` = the dataset's schema
+    ``max_length``).  Golden tests use ``"max"`` so that in-batch padding
+    coincides with our static padding — the reference stack derives
+    tensor widths from the longest in-batch document.
     """
     assert dataset in ("crello", "rico"), dataset
+    if fixed_length == "max":
+        from .spec import _spec_path_for
+
+        with open(_spec_path_for(dataset)) as f:
+            fixed_length = int(yaml.safe_load(f).get("max_length", 50))
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     _doc = _crello_doc if dataset == "crello" else _rico_doc

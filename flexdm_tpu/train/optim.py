@@ -96,8 +96,15 @@ def make_optimizer(
     chain = []
     if clipnorm is not None:
         chain.append(clip_by_per_leaf_norm(clipnorm))
-    chain.append(scale_by_keras_adam(b1=0.9, b2=0.999, eps=1e-7))
-    chain.append(optax.scale(-learning_rate))
+    # Inner chain mirrors optax.adam's (ScaleByAdamState, EmptyState) state
+    # tuple so opt_state checkpoints written before the keras-exact rewrite
+    # still restore under --resume.
+    chain.append(
+        optax.chain(
+            scale_by_keras_adam(b1=0.9, b2=0.999, eps=1e-7),
+            optax.scale(-learning_rate),
+        )
+    )
     return optax.chain(*chain)
 
 

@@ -16,6 +16,13 @@ import os
 # tensorflow's lazy keras loader first resolves (tf_keras is installed).
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
+# Pin TF-CPU to one thread so golden oracles are bit-deterministic
+# run-to-run regardless of machine load (oneDNN reductions otherwise vary
+# with thread scheduling).  One core on this host anyway.
+os.environ.setdefault("TF_NUM_INTRAOP_THREADS", "1")
+os.environ.setdefault("TF_NUM_INTEROP_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -15,41 +15,24 @@ a bare module stub satisfies the import — none of its TFP symbols are used
 on the forward path.
 """
 
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
+from tests.ref_oracle import reference_available, reference_imports
+
 tf = pytest.importorskip("tensorflow")
 
-REF_PATH = "/root/reference/src/mfp"
-
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 
 @pytest.fixture(scope="module")
 def ref_modules():
     """Import the reference architecture (golden oracle, never shipped)."""
-    assert os.environ.get("TF_USE_LEGACY_KERAS") == "1", (
-        "reference keras-2 code needs the legacy shim (set in conftest)"
-    )
-    # Never write bytecode into the read-only reference checkout.
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    sys.modules.setdefault(
-        "tensorflow_probability", types.ModuleType("tensorflow_probability")
-    )
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         from mfp.data.spec import DataSpec as RefDataSpec
         from mfp.models.model import Model as RefModel
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
     return RefDataSpec, RefModel
 
 
@@ -118,18 +101,10 @@ def test_tf_checkpoint_round_trip(dataset, request, tmp_path, ref_modules):
     }
     out_tf = ref_model(tf_inputs, training=False)
 
-    # Genuine reference checkpoint artifact: keras save_weights from a root
-    # whose `.model` attribute holds the network (reference mfp.py:249,
-    # train.py:97) -> variable paths `model/encoder/...` etc.
-    class _Root(tf.keras.Model):
-        def __init__(self, inner):
-            super().__init__()
-            self.model = inner
+    # Genuine reference checkpoint artifact (see ref_oracle.make_tf_root).
+    from tests.ref_oracle import make_tf_root
 
-        def call(self, inputs):
-            return self.model(inputs, training=False)
-
-    root = _Root(ref_model)
+    root = make_tf_root(tf, ref_model)
     _ = root(tf_inputs)
     ckpt_prefix = str(tmp_path / "ref_ckpt")
     root.save_weights(ckpt_prefix)
@@ -204,14 +179,10 @@ def test_tf_checkpoint_round_trip_context_models(
     }
     out_tf = ref_model(tf_inputs, training=False)
 
-    class _Root(tf.keras.Model):
-        def __init__(self, inner):
-            super().__init__()
-            self.model = inner
+    from tests.ref_oracle import make_tf_root
 
-    root = _Root(ref_model)
     prefix = str(tmp_path / "ck")
-    root.save_weights(prefix)
+    make_tf_root(tf, ref_model).save_weights(prefix)
 
     model = MFPModel(
         spec.schema, latent_dim=32, num_blocks=2, num_heads=8,

@@ -22,20 +22,17 @@ The reference masking module imports tensorflow_probability at module
 level; a bare module stub satisfies it (same trick as the other goldens).
 """
 
-import os
-import sys
-import types
 from collections import defaultdict
 
 import numpy as np
 import pytest
 
+from tests.ref_oracle import reference_available, reference_imports
+
 tf = pytest.importorskip("tensorflow")
 
-REF_PATH = "/root/reference/src/mfp"
-
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 BATCH = 4
@@ -43,18 +40,7 @@ BATCH = 4
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    stub = sys.modules.setdefault(
-        "tensorflow_probability", types.ModuleType("tensorflow_probability")
-    )
-    if not hasattr(stub, "distributions"):
-        dists = types.ModuleType("tensorflow_probability.distributions")
-        for name in ("Bernoulli", "Categorical", "MultivariateNormalDiag"):
-            setattr(dists, name, type(name, (), {}))
-        stub.distributions = dists
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         from mfp.data.spec import DataSpec as RefDataSpec
         from mfp.models.architecture.mask import get_seq_mask as ref_seq_mask
         from mfp.models.masking import (
@@ -66,9 +52,6 @@ def ref_modules():
             preprocess_for_test as ref_preprocess,
         )
         from mfp.models.model import Model as RefModel
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
     return {
         "DataSpec": RefDataSpec,
         "Model": RefModel,
@@ -90,19 +73,11 @@ def golden_setup(request, tmp_path_factory, ref_modules):
 
     dataset = request.param
     tf.random.set_seed(11)
-    data_dir = tmp_path_factory.mktemp(f"{dataset}_probe")
-    spec_probe = DatasetSpec(
-        dataset,
-        synthetic.generate(dataset, str(data_dir), 8, 4, 8, seed=3,
-                           fixed_length=1),
-        batch_size=BATCH,
-    )
-    max_len = spec_probe.schema.max_length
-    # Regenerate with every document at exactly max_length elements so the
-    # reference's in-batch padding equals our static padding (module doc).
+    # Every document at exactly max_length elements so the reference's
+    # in-batch padding equals our static padding (module doc).
     data_dir2 = tmp_path_factory.mktemp(f"{dataset}_full")
     synthetic.generate(
-        dataset, str(data_dir2), 8, 4, 8, seed=3, fixed_length=max_len
+        dataset, str(data_dir2), 8, 4, 8, seed=3, fixed_length="max"
     )
 
     ref_spec = ref_modules["DataSpec"](dataset, str(data_dir2),
@@ -135,14 +110,10 @@ def golden_setup(request, tmp_path_factory, ref_modules):
     modified = ref_modules["preprocess"](tf_batch, model_columns, masks)
     _ = ref_model(modified, training=False)
 
-    class _Root(tf.keras.Model):
-        def __init__(self, inner):
-            super().__init__()
-            self.model = inner
+    from tests.ref_oracle import make_tf_root
 
-    root = _Root(ref_model)
     prefix = str(tmp_path_factory.mktemp("ckpt") / "ck")
-    root.save_weights(prefix)
+    make_tf_root(tf, ref_model).save_weights(prefix)
 
     model = MFPModel(
         spec.schema, latent_dim=32, num_blocks=2, num_heads=8,

@@ -14,48 +14,34 @@ The reference masking module imports tensorflow_probability at module
 level but ``iterative_decode`` itself never touches it, so a bare module
 stub suffices (same trick as test_checkpoint_golden.py).
 
-Reference-defect note (PARITY.md §2.7): the reference's shipped demos call
-the model with ``demo_args={"masks": ...}`` and never pass ``num_iter``,
-so its ``iterative_decode`` is dead code in practice — and it contains a
-latent broadcast bug: ``threshold`` has shape (B,) but is compared against
-(B, S) confidences (reference mfp.py:178-184), which TF rejects whenever
-S != B.  The oracle here is the reference's own source with the one
-evidently-intended repair (``threshold[:, None]``), applied textually at
-import time so everything else executes verbatim.
+Reference-defect note (PARITY.md §2.7): the reference decode contains a
+latent broadcast bug — ``threshold`` has shape (B,) but is compared
+against (B, S) confidences (reference mfp.py:178-184), which TF rejects
+whenever S != B.  It is reachable upstream via ``eval.py --num_iter N``
+(eval.py:98), but only survives in ``elem`` mode, where eval.py forces
+batch_size=1 (eval.py:140-142) and the (1,) threshold broadcasts; any
+group-task eval with B > 1 crashes, and the shipped demo notebooks never
+set ``num_iter`` (default 1 → decode off).  The oracle here is the
+reference's own source with the one evidently-intended repair
+(``threshold[:, None]``), applied textually at import time so everything
+else executes verbatim — which also lets this golden run at B=4.
 """
-
-import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
+from tests.ref_oracle import reference_available, reference_imports
+
 tf = pytest.importorskip("tensorflow")
 
-REF_PATH = "/root/reference/src/mfp"
-
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 
 @pytest.fixture(scope="module")
 def ref_mfp_modules():
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    stub = sys.modules.setdefault(
-        "tensorflow_probability", types.ModuleType("tensorflow_probability")
-    )
-    if not hasattr(stub, "distributions"):
-        # canvasvae.py dereferences these at import time; none of them
-        # runs on the iterative_decode path, so inert placeholders do.
-        dists = types.ModuleType("tensorflow_probability.distributions")
-        for name in ("Bernoulli", "Categorical", "MultivariateNormalDiag"):
-            setattr(dists, name, type(name, (), {}))
-        stub.distributions = dists
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         import inspect
 
         from mfp.data.spec import DataSpec as RefDataSpec
@@ -64,12 +50,9 @@ def ref_mfp_modules():
             preprocess_for_test as ref_preprocess_for_test,
         )
         from mfp.models.model import Model as RefModel
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
 
-    # Repair the one broadcast bug in the (otherwise-dead) reference decode
-    # loop — see module docstring — and execute the rest verbatim.
+    # Repair the one broadcast bug in the reference decode loop — see
+    # module docstring — and execute the rest verbatim.
     src = inspect.getsource(ref_mfp_mod.iterative_decode)
     patched = src.replace(
         "confidence[key] >= threshold)", "confidence[key] >= threshold[:, None])"
@@ -148,14 +131,10 @@ def test_maskgit_decode_matches_reference(request, tmp_path, ref_mfp_modules):
     _ = ref_model(tf_modified, training=False)  # build variables
 
     # Same weights on both sides, via the real converter.
-    class _Root(tf.keras.Model):
-        def __init__(self, inner):
-            super().__init__()
-            self.model = inner
+    from tests.ref_oracle import make_tf_root
 
-    root = _Root(ref_model)
     prefix = str(tmp_path / "ck")
-    root.save_weights(prefix)
+    make_tf_root(tf, ref_model).save_weights(prefix)
     model = MFPModel(
         schema, latent_dim=32, num_blocks=2, num_heads=8,
         attention_impl="xla",

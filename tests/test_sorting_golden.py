@@ -14,31 +14,22 @@ don't occur; padding rows are identical element-wise, so any permutation
 among them gathers equal values.
 """
 
-import os
-import sys
-
 import numpy as np
 import pytest
 
+from tests.ref_oracle import reference_available, reference_imports
+
 tf = pytest.importorskip("tensorflow")
 
-REF_PATH = "/root/reference/src/mfp"
-
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 
 @pytest.fixture(scope="module")
 def ref_tensor_utils():
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         from mfp.models import tensor_utils
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
     return tensor_utils
 
 

@@ -12,16 +12,14 @@ raw-template schema; dacite is absent), but the rect/text/image emission it
 shares with ``svg_rico`` is what this golden pins.
 """
 
-import os
-import sys
 import xml.etree.ElementTree as ET
 
 import pytest
 
-REF_PATH = "/root/reference/src/mfp"
+from tests.ref_oracle import reference_available, reference_imports
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 SVG_NS = "{http://www.w3.org/2000/svg}"
@@ -29,14 +27,8 @@ SVG_NS = "{http://www.w3.org/2000/svg}"
 
 @pytest.fixture(scope="module")
 def ref_svg_rico():
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         from mfp.helpers import svg_rico
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
     return svg_rico
 
 

@@ -22,19 +22,15 @@ and Adam epsilon placement.  Shape note: full-length documents, as in
 test_eval_golden.py.
 """
 
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
+from tests.ref_oracle import reference_available, reference_imports
+
 tf = pytest.importorskip("tensorflow")
 
-REF_PATH = "/root/reference/src/mfp"
-
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 BATCH = 4
@@ -43,19 +39,7 @@ STEPS = 4
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    had_flag = sys.dont_write_bytecode
-    sys.dont_write_bytecode = True
-    stub = sys.modules.setdefault(
-        "tensorflow_probability", types.ModuleType("tensorflow_probability")
-    )
-    if not hasattr(stub, "distributions"):
-        # canvasvae.py dereferences these at import time; none runs here.
-        dists = types.ModuleType("tensorflow_probability.distributions")
-        for name in ("Bernoulli", "Categorical", "MultivariateNormalDiag"):
-            setattr(dists, name, type(name, (), {}))
-        stub.distributions = dists
-    sys.path.insert(0, REF_PATH)
-    try:
+    with reference_imports():
         from mfp.data.spec import DataSpec as RefDataSpec
         from mfp.models.masking import get_task_names
         from mfp.models.metrics import LossLayer as RefLossLayer
@@ -63,9 +47,6 @@ def ref_modules():
             preprocess_for_train as ref_preprocess_for_train,
         )
         from mfp.models.model import Model as RefModel
-    finally:
-        sys.path.remove(REF_PATH)
-        sys.dont_write_bytecode = had_flag
     return (
         RefDataSpec,
         RefModel,
@@ -73,6 +54,64 @@ def ref_modules():
         ref_preprocess_for_train,
         get_task_names,
     )
+
+
+def test_adam_update_rule_matches_keras_bitwise():
+    """The optimizer transformation itself, fed IDENTICAL gradients, must
+    track keras ``Adam(lr, clipnorm=1.0)`` to float32 round-off — including
+    gradients down at the epsilon-sensitive scale, where the keras epsilon
+    placement (added to sqrt of the UNCORRECTED second moment,
+    ``scale_by_keras_adam``) differs measurably from ``optax.adam``.
+
+    This is the deterministic discriminator for optimizer semantics; the
+    end-to-end trajectory test below necessarily runs with loose
+    tolerances (see its comment)."""
+    import jax.numpy as jnp
+    import optax
+
+    from flexdm_tpu.train import make_optimizer
+
+    rng = np.random.default_rng(0)
+    # Spans the eps-sensitive regime: |g| from 1e-9 up to clipnorm-active.
+    scales = np.array([1e-9, 1e-7, 1e-5, 1e-3, 1e-1, 10.0])
+    params0 = rng.normal(size=(6, 5)).astype(np.float32)
+    grads = [
+        (rng.normal(size=(6, 5)).astype(np.float32) * scales[:, None]).astype(
+            np.float32
+        )
+        for _ in range(5)
+    ]
+
+    var = tf.Variable(params0)
+    opt = tf.keras.optimizers.Adam(learning_rate=1e-4, clipnorm=1.0)
+    for g in grads:
+        opt.apply_gradients([(tf.constant(g), var)])
+    keras_params = var.numpy()
+
+    tx = make_optimizer(1e-4, clipnorm=1.0)
+    p = jnp.asarray(params0)
+    state = tx.init(p)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, p)
+        p = optax.apply_updates(p, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(p), keras_params, rtol=1e-6, atol=1e-7
+    )
+
+    # The distinction matters: plain optax.adam (same clipping) diverges
+    # visibly on the tiny-gradient rows under the same feed.
+    from flexdm_tpu.train.optim import clip_by_per_leaf_norm
+
+    tx_optax = optax.chain(
+        clip_by_per_leaf_norm(1.0), optax.adam(1e-4, eps=1e-7)
+    )
+    q = jnp.asarray(params0)
+    s2 = tx_optax.init(q)
+    for g in grads:
+        updates, s2 = tx_optax.update(jnp.asarray(g), s2, q)
+        q = optax.apply_updates(q, updates)
+    assert np.abs(np.asarray(q) - keras_params).max() > 1e-5
 
 
 def test_training_steps_match_reference(tmp_path_factory, ref_modules):
@@ -95,17 +134,9 @@ def test_training_steps_match_reference(tmp_path_factory, ref_modules):
     tf.random.set_seed(23)
 
     # Full-length corpus: reference tensor widths == our static padding.
-    probe_dir = tmp_path_factory.mktemp("probe")
-    probe = DatasetSpec(
-        "crello",
-        synthetic.generate("crello", str(probe_dir), 8, 4, 4, seed=9,
-                           fixed_length=1),
-        batch_size=BATCH,
-    )
     data_dir = tmp_path_factory.mktemp("full")
     synthetic.generate(
-        "crello", str(data_dir), 16, 4, 4, seed=9,
-        fixed_length=probe.schema.max_length,
+        "crello", str(data_dir), 16, 4, 4, seed=9, fixed_length="max"
     )
 
     ref_spec = RefDataSpec("crello", str(data_dir), batch_size=BATCH)
@@ -144,13 +175,10 @@ def test_training_steps_match_reference(tmp_path_factory, ref_modules):
     _, modified0, _ = ref_preprocess(dict(tf_b0), model_columns, tasks)
     _ = ref_model(modified0, training=False)
 
-    class _Root(tf.keras.Model):
-        def __init__(self, inner):
-            super().__init__()
-            self.model = inner
+    from tests.ref_oracle import make_tf_root
 
     prefix = str(tmp_path_factory.mktemp("ck") / "ck")
-    _Root(ref_model).save_weights(prefix)
+    make_tf_root(tf, ref_model).save_weights(prefix)
 
     model = MFPModel(
         schema, latent_dim=32, num_blocks=2, num_heads=8, dropout=0.0,
@@ -198,7 +226,17 @@ def test_training_steps_match_reference(tmp_path_factory, ref_modules):
         our_losses, ref_losses, rtol=2e-4, err_msg="loss trajectory"
     )
 
-    # Final parameters must still produce matching logits.
+    # Final parameters must still produce matching logits.  Tolerance note:
+    # the two stacks' float arithmetic differs at the last bit per op, and
+    # Adam normalizes each parameter's update to ~lr regardless of gradient
+    # magnitude — so for parameters whose gradients sit at the noise floor,
+    # the update DIRECTION is decided by round-off and legally diverges by
+    # O(lr * alpha_t * steps) per step.  Empirically that is ~1e-3 on a few
+    # percent of logits after 4 steps (and it reshuffles under any change
+    # of op schedule), so 5e-4 here would be a coin flip.  The bitwise
+    # optimizer-semantics discriminator is the unit golden above; this
+    # check catches gross divergence (wrong masks, wrong loss weighting,
+    # wrong update wiring), which shows up at >1e-2.
     _, modified_eval, _ = ref_preprocess(dict(tf_b0), model_columns, tasks)
     out_tf = ref_model(modified_eval, training=False)
     modified_jax = {
@@ -209,7 +247,7 @@ def test_training_steps_match_reference(tmp_path_factory, ref_modules):
         np.testing.assert_allclose(
             np.asarray(out_jax[name]),
             out_tf[name].numpy(),
-            atol=5e-4,
-            rtol=1e-3,
+            atol=5e-3,
+            rtol=5e-3,
             err_msg=f"post-training logits: {name}",
         )
