@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from ..data.schema import MASK_VALUE, NULL_VALUE, Schema
 from .masking import get_seq_mask
 from ..ops.rng import FastDropout
-from .transformer import PositionEmbedding, keras_embed_init, make_dense
+from .transformer import (
+    DenseParams,
+    PositionEmbedding,
+    keras_embed_init,
+    make_dense,
+)
 
 CONTEXT_NAMES = (None, "id", "canvas", "length", "canvas_add")
 
@@ -66,20 +71,31 @@ class Encoder(nn.Module):
         B = inputs["length"].shape[0]
         seq_mask = get_seq_mask(inputs["length"], schema.max_length)
 
-        # Categorical sequence columns fuse into ONE matmul: each column's
-        # channel-summed one-hot (vocabularies are tiny, <= ~66 ids) is
-        # concatenated along the vocab axis and multiplied by the stacked
-        # embedding tables.  Sum-fusion over columns falls out of the same
+        # ALL sequence columns fuse into ONE matmul.  Categorical: each
+        # column's channel-summed one-hot (vocabularies are tiny, <= ~66
+        # ids) concatenated along the vocab axis against the stacked
+        # embedding tables (reference encoder.py:72-79, 157-160).
+        # Numerical: the raw vector — zeroed wherever the all-channel
+        # MASK/NULL sentinel fires — against the stacked Dense kernels,
+        # plus a 3-way indicator (normal/mask/null) whose table rows are
+        # {bias, special[0], special[1]}, which reproduces the reference's
+        # Dense + sentinel-substitution chain (encoder.py:80-92, 164-175)
+        # exactly: normal*(xW+b) + mask*sp0 + null*sp1 with disjoint
+        # selectors.  Sum-fusion over columns falls out of the same
         # contraction, the backward is a single MXU matmul (no scatters),
-        # and ~15 small kernels collapse into one.  Parameters stay
+        # and ~20 small kernels collapse into one.  Parameters stay
         # per-column (concatenated at apply time) for checkpoint parity.
         cat_seq = [
             c for c in schema.valid_columns(self.use_canvas)
             if c.is_categorical and c.is_sequence
         ]
+        num_seq = [
+            c for c in schema.valid_columns(self.use_canvas)
+            if not c.is_categorical and c.is_sequence
+        ]
         data_s, data_c = [], []
         keys_s = []
-        if self.fusion == "add" and cat_seq:
+        if self.fusion == "add" and (cat_seq or num_seq):
             tables = [
                 self.param(
                     f"input_{c.name}",
@@ -88,24 +104,49 @@ class Encoder(nn.Module):
                 )
                 for c in cat_seq
             ]
-            cdt = self.dtype or tables[0].dtype
-            onehots = jnp.concatenate(
-                [
-                    jnp.sum(
-                        jax.nn.one_hot(
-                            inputs[c.name], c.input_dim + 2, dtype=cdt
-                        ),
-                        axis=2,
-                    )
-                    for c in cat_seq
-                ],
-                axis=-1,
+            cdt = self.dtype or (
+                tables[0].dtype if tables else jnp.float32
             )
-            stacked = jnp.concatenate(
-                [t.astype(cdt) for t in tables], axis=0
+            feats = [
+                jnp.sum(
+                    jax.nn.one_hot(
+                        inputs[c.name], c.input_dim + 2, dtype=cdt
+                    ),
+                    axis=2,
+                )
+                for c in cat_seq
+            ]
+            rows = [t.astype(cdt) for t in tables]
+            for c in num_seq:
+                x = inputs[c.name]
+                kernel, bias = DenseParams(
+                    self.latent_dim, name=f"input_{c.name}"
+                )(x.shape[-1])
+                special = self.param(
+                    f"input_{c.name}_special",
+                    keras_embed_init,
+                    (2, self.latent_dim),
+                )
+                is_masked = jnp.all(x == MASK_VALUE, axis=-1)
+                is_unused = jnp.all(x == NULL_VALUE, axis=-1)
+                normal = jnp.logical_not(is_masked | is_unused)
+                feats.append(x.astype(cdt) * normal[..., None].astype(cdt))
+                rows.append(kernel.astype(cdt))
+                feats.append(
+                    jnp.stack(
+                        [normal, is_masked, is_unused], axis=-1
+                    ).astype(cdt)
+                )
+                rows.append(
+                    jnp.stack(
+                        [bias, special[0], special[1]], axis=0
+                    ).astype(cdt)
+                )
+            data_s.append(
+                jnp.concatenate(feats, axis=-1)
+                @ jnp.concatenate(rows, axis=0)
             )
-            data_s.append(onehots @ stacked)
-            keys_s.append("__fused_categorical__")
+            keys_s.append("__fused_sequence__")
 
         for column in schema.valid_columns(self.use_canvas):
             x = inputs[column.name]
@@ -122,6 +163,8 @@ class Encoder(nn.Module):
                 onehot = jnp.sum(onehot, axis=2 if column.is_sequence else 1)
                 h = onehot @ table.astype(cdt)
             else:
+                if self.fusion == "add" and column.is_sequence:
+                    continue  # handled by the fused path above
                 special = self.param(
                     f"input_{column.name}_special",
                     keras_embed_init,
