@@ -88,7 +88,9 @@ def measure_train(
     mesh = mesh_lib.make_mesh(n_dev if batch_size % n_dev == 0 else 1)
     state = mesh_lib.shard_state(state, mesh)
 
-    task_config = make_task_config(spec.schema, "elem_pos_attr_img_txt")
+    task_config = make_task_config(
+        spec.schema, masking_method or "elem_pos_attr_img_txt"
+    )
     cache = DeviceDataCache(loader)
     base_step = make_train_step(model, task_config, tx, l2=1e-2)
     # No donation: the same initial state is reused across timing runs.
@@ -376,7 +378,9 @@ def main() -> None:
         "compile_time_sec": flagship["compile_time_sec"],
         "loss": flagship["loss"],
         "model_tflops_per_step": round(flops / 1e12, 4),
-        "mfu_pct": round(mfu(flops, flagship["steps_per_sec"]), 2),
+        # MFU is per chip: aggregate steps/s over an N-chip mesh divided by
+        # ONE chip's peak would overstate by N.
+        "mfu_pct": round(mfu(flops, flagship["per_chip_steps_per_sec"]), 2),
     }
 
     if not (args.quick or args.flagship_only):
@@ -388,7 +392,9 @@ def main() -> None:
             )
             return {
                 "bf16_steps_per_sec": r["steps_per_sec"],
-                "bf16_mfu_pct": round(mfu(flops, r["steps_per_sec"]), 2),
+                "bf16_mfu_pct": round(
+                    mfu(flops, r["per_chip_steps_per_sec"]), 2
+                ),
             }
 
         def _scaled():
@@ -401,7 +407,7 @@ def main() -> None:
                 "scaled_d512x8_steps_per_sec": r["steps_per_sec"],
                 "scaled_d512x8_bf16_steps_per_sec": rb["steps_per_sec"],
                 "scaled_bf16_mfu_pct": round(
-                    mfu(scaled_flops, rb["steps_per_sec"]), 2
+                    mfu(scaled_flops, rb["per_chip_steps_per_sec"]), 2
                 ),
             }
 
@@ -416,6 +422,7 @@ def main() -> None:
                     spec, max(batch_size // 4, 8), latent, blocks,
                     max(steps // 2, 5), attention_impl=impl,
                     seq_type="flat",
+                    masking_method="random",  # the crello_flat preset's task
                 )
                 out[f"flat_{impl}_steps_per_sec"] = r["steps_per_sec"]
             return out

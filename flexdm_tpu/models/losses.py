@@ -258,30 +258,38 @@ def compute_mfp_loss(
         ]
     for column in canvas_cols:
         name = column.name
-        w = jnp.asarray(masks[name]).astype(jnp.float32)  # (B, C)
+        # Canvas masks are (B,) bools (get_initial_masks); one weight per
+        # document.
+        w = jnp.asarray(masks[name]).astype(jnp.float32).reshape(-1)
         if column.loss_condition is not None:
+            # A canvas condition key is itself a canvas column: one id per
+            # document, stored (B, C_key) — condition on channel 0.
             cond = column.loss_condition
             table = jnp.asarray(cond.mask, dtype=jnp.float32)
-            w = w * table[y_true[cond.key].astype(jnp.int32)]
+            cond_ids = jnp.reshape(
+                y_true[cond.key].astype(jnp.int32), (w.shape[0], -1)
+            )[:, 0]
+            w = w * table[cond_ids]
         if column.is_categorical:
             ce, hit = categorical_loss_and_score(
                 y_true[name], y_pred[name].astype(jnp.float32)
             )
-            # Canvas masks are (B,) here; align to the (B, C) loss.
+            # Per-channel weights, like the sequence-categorical path: the
+            # denominator must count every scored (B, C) entry.
             wc = jnp.broadcast_to(
-                w.reshape(w.shape[0], *([1] * (ce.ndim - 1))), ce.shape
-            ) if w.ndim < ce.ndim else w
+                w.reshape(-1, *([1] * (ce.ndim - 1))), ce.shape
+            )
             col_loss[name] = wc * ce  # no seq axis to reduce
             col_score[name] = wc * hit
             col_den[name] = wc
         else:
+            # continuous_loss_and_score reduces the channel axis: (B,).
             mse, score = continuous_loss_and_score(
                 y_true[name], y_pred[name].astype(jnp.float32)
             )
-            wc = w[:, 0] if w.ndim > 1 else w  # (B,)
-            col_loss[name] = mse * float(column.shape[-1]) * wc
-            col_score[name] = score * wc
-            col_den[name] = wc
+            col_loss[name] = mse * float(column.shape[-1]) * w
+            col_score[name] = score * w
+            col_den[name] = w
         loss_vec = loss_vec + jnp.sum(
             col_loss[name].reshape(w.shape[0], -1), axis=1
         )

@@ -477,8 +477,16 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         # closure capture): captured arrays can be embedded into the
         # serialized HLO, which at dataset scale overflows compile
         # transports.
+        # An unsharded cache must NOT hand its bare gather to the scan: the
+        # default gather_fn re-constrains the batch to P('data'), which is
+        # what keeps an unsharded dataset from funneling every step through
+        # one chip's HBM on a multi-device mesh.
         scan_fn = jax.jit(
-            make_scan_steps(base_step, mesh, cache.make_gather()),
+            make_scan_steps(
+                base_step,
+                mesh,
+                cache.make_gather() if cache_mesh is not None else None,
+            ),
             donate_argnums=(0,),
         )
     else:

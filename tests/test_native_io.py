@@ -74,10 +74,11 @@ def test_decode_record_native_matches_python(crello_spec, crello_dir):
     payloads = tfrecord.read_records(shard)[:4]
 
     native = [crello_spec.decode_record(p) for p in payloads]
-    # Force the Python path.
-    crello_spec._native_keys_cache = frozenset()
+    assert crello_spec._native_seq_metas, "native path not active"
+    # Force the Python path (empty meta list -> no native decoder).
+    crello_spec._native_metas_cache = ()
     pure = [crello_spec.decode_record(p) for p in payloads]
-    del crello_spec._native_keys_cache
+    del crello_spec._native_metas_cache
 
     for a, b in zip(native, pure):
         for k in a:
