@@ -113,6 +113,38 @@ def test_train_scan_on_sharded_cache(setup):
     assert int(state.step) == block.shape[0]
 
 
+def test_train_scan_unsharded_cache_on_mesh(setup):
+    """The trainer's fallback for a batch that doesn't divide the data axis:
+    an UNSHARDED cache on a multi-device mesh must still run the scan (with
+    the default gather's batch-sharding constraint) and produce the same
+    loss as the same steps on a single-device mesh."""
+    spec, loader, model, params = setup
+    tc = make_task_config(spec.schema, "random")
+    tx = make_optimizer(1e-3)
+
+    def run(mesh, B):
+        cache = DeviceDataCache(loader)  # mesh=None: unsharded
+        state = TrainState(
+            params=mesh_lib.shard_state(params, mesh),
+            opt_state=tx.init(params),
+            step=jnp.asarray(0),
+        )
+        base_step = make_train_step(model, tc, tx, l2=1e-2)
+        # gather_fn=None is what the trainer passes for an unsharded cache.
+        scan_fn = jax.jit(make_scan_steps(base_step, mesh, None))
+        block = np.stack(list(cache.epoch_indices(B, seed=0, epoch=0)))
+        state, metrics = scan_fn(
+            state, cache.data, jnp.asarray(block), jax.random.PRNGKey(0)
+        )
+        return float(metrics["loss"])
+
+    B = 12  # 12 % 8 != 0 -> the trainer would leave this cache unsharded
+    loss8 = run(mesh_lib.make_mesh(8), B)
+    loss1 = run(mesh_lib.make_mesh(1), B)
+    assert np.isfinite(loss8)
+    np.testing.assert_allclose(loss8, loss1, rtol=2e-5)
+
+
 @pytest.mark.parametrize("task_mode", ["pos", "attr", "elem"])
 def test_eval_scores_match_single_device(setup, task_mode):
     """Deterministic-mask tasks must score identically on a sharded cache
