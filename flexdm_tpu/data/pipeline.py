@@ -209,6 +209,7 @@ class DeviceDataCache:
         records = [loader._record(i) for i in range(loader.num_records)]
         self.num_records = len(records)
         self.mesh = None
+        self._gather_fn = None  # memoized (shard_map closures are costly)
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
@@ -266,9 +267,12 @@ class DeviceDataCache:
         block of local indices, so the batch materializes already sharded
         ``P('data')`` with zero communication.
         """
-        if self.mesh is None:
-            return gather_batch
-        return make_sharded_gather(self.mesh)
+        if self._gather_fn is None:
+            self._gather_fn = (
+                gather_batch if self.mesh is None
+                else make_sharded_gather(self.mesh)
+            )
+        return self._gather_fn
 
     def gather(self, indices):
         """Batch = dataset[indices], computed on device."""

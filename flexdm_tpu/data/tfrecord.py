@@ -126,6 +126,12 @@ def decode_float_feature(
 
     Returns ``(n_rows, row_size)`` float32, or None when the native library
     is unavailable (caller falls back to the Python proto decoder).
+
+    Single-feature special case of :func:`make_seq_feature_decoder` (the
+    production path) kept as the minimal ABI example + test surface.  Row
+    semantics follow the shared C++ decoder: a present-but-empty Feature
+    row counts as a zero row (it occupies its position) rather than being
+    compacted away.
     """
     lib = _load_native()
     if lib is None:

@@ -40,7 +40,11 @@ from ..data import DatasetSpec
 from ..data.pipeline import NUM_VALID_KEY, split_device_batch
 from ..data.schema import Schema
 from ..models import MFPModel, compute_mfp_loss, forward_eval
-from ..models.masking import get_initial_masks, get_seq_mask, random_masking
+from ..models.masking import (
+    MASK_PROB,
+    get_initial_masks,
+    get_seq_mask,
+)
 from ..train import checkpoint as ckpt_lib
 from ..train.trainer import TrainConfig, build_model, init_params
 
@@ -55,17 +59,32 @@ def _group_masks(schema: Schema, batch, group_keys) -> Dict[str, jnp.ndarray]:
     return masks
 
 
-def _random_masks(schema: Schema, batch, key) -> Dict[str, jnp.ndarray]:
+def _random_masks(
+    schema: Schema, batch, key, ids: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Pure-mask evaluation masking, keyed per RECORD.
+
+    Eval's ``random`` task needs only the 15% Bernoulli mask (the 80/10/10
+    replace/keep split is zeroed — reference eval.py:59-65 intended pure
+    masking).  Each record's draw comes from ``fold_in(key, global id)``,
+    a function of its identity alone — so scores are invariant to batch
+    size, chunk size, device count, and shard layout: the streaming and
+    resident paths, and every mesh size, mask each record identically.
+    ``ids`` rows under zero sample weight (padding) may be arbitrary.
+    """
     seq_mask = get_seq_mask(batch["length"], schema.max_length)
-    _, masks = random_masking(
-        batch, schema, seq_mask, key, replace_prob=0.0, unchange_prob=0.0
+    n_seq = sum(1 for c in schema.modeled if c.is_sequence)
+    S = schema.max_length
+    keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(
+        ids.astype(jnp.uint32)
     )
-    # random_masking returns (B, C)-shaped canvas masks like the reference;
-    # normalize to the initial-mask convention.
-    init = get_initial_masks(schema, seq_mask)
+    draws = jax.vmap(lambda k: jax.random.uniform(k, (n_seq, S)))(keys)
+    masks = get_initial_masks(schema, seq_mask)
+    si = 0
     for c in schema.modeled:
-        if not c.is_sequence:
-            masks[c.name] = init[c.name]
+        if c.is_sequence:
+            masks[c.name] = seq_mask & (draws[:, si] < MASK_PROB)
+            si += 1
     return masks
 
 
@@ -266,6 +285,7 @@ def _accumulate(total: Dict[str, float], names, stacked) -> None:
 
 
 def _batches(loader, mesh=None) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+    offset = 0
     for host_batch in loader:
         num_valid = host_batch.get(NUM_VALID_KEY, None)
         batch = {
@@ -276,13 +296,18 @@ def _batches(loader, mesh=None) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndar
         if num_valid is not None:
             w[num_valid:] = 0.0
         w = jnp.asarray(w)
+        # Global record ids (split file order) for per-record mask draws;
+        # rows past num_valid carry w=0, their ids are never scored.
+        ids = jnp.arange(offset, offset + B, dtype=jnp.int32)
+        offset += B
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
             # eval batches exist in full on every host
             batch = mesh_lib.shard_global_batch(batch, mesh)
             w = mesh_lib.shard_global_batch(w, mesh)
-        yield batch, w
+            ids = mesh_lib.shard_global_batch(ids, mesh)
+        yield batch, w, ids
 
 
 def evaluate_task(
@@ -411,10 +436,10 @@ def _resident_scan(
             return step_fn(params, sub, masks, w)
     else:
         def chunk_vals(params, data, xs, key):
-            blk, w, t = xs
+            blk, w, gid = xs
             sub = gather(data, blk)
             if task_mode == "random":
-                masks = _random_masks(schema, sub, jax.random.fold_in(key, t))
+                masks = _random_masks(schema, sub, key, gid)
             else:
                 masks = _group_masks(schema, sub, group_keys)
             return step_fn(params, sub, masks, w)
@@ -462,11 +487,19 @@ def _evaluate_task_resident(
     if task_mode == "elem":
         doc, elem, w = cache.elem_index_blocks(chunk, S)
         xs = (jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w))
+        T = xs[0].shape[0]
+        xs = xs + (jnp.arange(T, dtype=jnp.int32),)
     else:
         blk, w = cache.eval_index_blocks(chunk)
-        xs = (jnp.asarray(blk), jnp.asarray(w))
-    T = xs[0].shape[0]
-    xs = xs + (jnp.arange(T, dtype=jnp.int32),)
+        # Global record ids for per-record mask draws ('random' task): a
+        # sharded cache stores record g at (device g % D, local slot
+        # g // D), so gid = local*D + device recovers it.
+        if cache.mesh is not None:
+            dev = (np.arange(chunk) // (chunk // D)).astype(np.int32)
+            gid = blk * D + dev[None, :]
+        else:
+            gid = blk
+        xs = (jnp.asarray(blk), jnp.asarray(w), jnp.asarray(gid))
 
     scan_fn, names, name_order = _resident_scan(
         model, task_mode, None if group is None else tuple(group[1]),
@@ -524,9 +557,9 @@ def _evaluate_task_streaming(
     key = jax.random.PRNGKey(seed)
     total: Dict[str, float] = defaultdict(float)
 
-    for i, (batch, weight) in enumerate(_batches(loader, mesh)):
+    for batch, weight, ids in _batches(loader, mesh):
         if task_mode == "random":
-            masks = _random_masks(schema, batch, jax.random.fold_in(key, i))
+            masks = _random_masks(schema, batch, key, ids)
             _accumulate(total, names, step(params, batch, masks, weight))
         elif task_mode == "elem":
             n = batch["length"].shape[0] * schema.max_length

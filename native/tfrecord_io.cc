@@ -10,7 +10,12 @@
 // Exposed C ABI (consumed via ctypes):
 //   flexdm_scan_records(path, offsets, lengths, capacity, verify) -> count
 //   flexdm_crc32c(data, len) -> masked crc
-//   flexdm_decode_floats(payload, len, name, out, cap, rows, cols) -> 0/neg
+//   flexdm_decode_float_feature(payload, len, name, out, max_rows,
+//       row_size) -> n_rows/neg — single float feature list
+//   flexdm_decode_seq_features(payload, len, names, name_lens, kinds,
+//       num_names, max_rows, row_sizes, float_outs, int_outs, n_rows)
+//       -> 0/neg — ALL numeric sequence columns in one pass (the
+//       production entry point; see make_seq_feature_decoder)
 //
 // Build: make -C native   (produces libflexdm_io.so)
 

@@ -170,17 +170,33 @@ def test_eval_scores_match_single_device(setup, task_mode):
         np.testing.assert_allclose(ans1[k], ans8[k], rtol=2e-5, err_msg=k)
 
 
-def test_random_eval_runs_on_sharded_cache(setup):
+def test_random_eval_invariant_to_mesh_and_path(setup):
+    """'random'-task scores are a function of (seed, record identity) only:
+    per-record mask draws make the resident 8-device, resident 1-device,
+    and streaming paths — at different batch sizes — score identically."""
     from flexdm_tpu.evaluation.harness import evaluate_task
 
     spec, loader, model, params = setup
     mesh = mesh_lib.make_mesh(8)
-    ans = evaluate_task(
+    ans8 = evaluate_task(
         model, mesh_lib.shard_params(params, mesh),
         spec.make_dataset("test", batch_size=16),
         "random", None, mesh=mesh,
     )
-    assert ans and all(np.isfinite(v) for v in ans.values())
+    assert ans8 and all(np.isfinite(v) for v in ans8.values())
+    ans1 = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=16),
+        "random", None,
+    )
+    ans_stream = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=12),
+        "random", None, resident=False,
+    )
+    for k in ans1:
+        np.testing.assert_allclose(ans8[k], ans1[k], rtol=2e-5, err_msg=k)
+        np.testing.assert_allclose(
+            ans_stream[k], ans1[k], rtol=2e-5, err_msg=k
+        )
 
 
 def test_cache_rejects_multiprocess(setup, monkeypatch):
@@ -211,7 +227,9 @@ def test_resident_autoreg_elem_matches_streaming(setup):
         model, num_iter=1, sort=False, task_id=None, autoreg=True
     )
     total = defaultdict(float)
-    for batch, weight in H._batches(spec.make_dataset("test", batch_size=16)):
+    for batch, weight, _ids in H._batches(
+        spec.make_dataset("test", batch_size=16)
+    ):
         n = batch["length"].shape[0] * S
         for start in range(0, n, 64):
             idx = jnp.arange(start, start + 64, dtype=jnp.int32)

@@ -148,9 +148,10 @@ def test_native_seq_features_decode_all_kinds():
     np.testing.assert_array_equal(arr, 0)
 
 
-def test_decode_record_native_matches_python(tmp_path):
+def test_decode_record_native_matches_python_synthetic(tmp_path):
     """DatasetSpec.decode_record must produce identical arrays with and
-    without the native fast path."""
+    without the native fast path (fresh synthetic corpus; the same-named
+    crello-fixture test above covers the shared-fixture spec)."""
     from flexdm_tpu.data import DatasetSpec, synthetic
 
     d = str(tmp_path / "crello")
