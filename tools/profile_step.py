@@ -98,10 +98,14 @@ def main(argv=None):
         return round(1000 * (time.perf_counter() - t0) / args.iters, 3)
 
     # Segment: masking/preprocess only (task sampling + 5-way mask mux).
+    # fast_rng=True matches the production train path (forward_train draws
+    # replacement bits from the hardware rbg when train=True); the default
+    # threefry path costs ~2 ms more at B=256 and is NOT what the full
+    # step runs.
     def seg_masking(key, batch):
         tasks = sample_tasks(key, B, tc.task_probs)
         targets, modified, masks = preprocess_for_train(
-            batch, schema, tasks, key
+            batch, schema, tasks, key, fast_rng=True
         )
         return sum(jnp.sum(m.astype(jnp.float32)) for m in masks.values())
 
@@ -151,12 +155,16 @@ def main(argv=None):
         from flexdm_tpu.models.losses import compute_mfp_loss
         from flexdm_tpu.models.transformer import Blocks
 
+        # Everything array-sized below is PASSED as a jit argument, never
+        # closed over: captured constants are serialized into the HLO,
+        # which on this platform's remote-compile transport hard-fails
+        # past ~200 MB (observed HTTP 413; see CLAUDE.md / gather_batch).
         tasks0 = sample_tasks(jax.random.PRNGKey(1), B, tc.task_probs)
         targets0, modified0, masks0 = jax.jit(
-            lambda k: preprocess_for_train(batch, schema, tasks0, k)
-        )(jax.random.PRNGKey(2))
+            lambda b, k: preprocess_for_train(b, schema, tasks0, k)
+        )(batch, jax.random.PRNGKey(2))
 
-        def seg_model(key, state):
+        def seg_model(key, state, modified0):
             out = model.apply(
                 state.params, modified0, False, rngs={"dropout": key}
             )
@@ -182,16 +190,14 @@ def main(argv=None):
             {"params": p["decoder"]},
         )
         seq0, seq_mask0 = jax.jit(
-            lambda: enc.apply(
-                enc_p, modified0, True, rngs={"dropout": jax.random.PRNGKey(3)}
-            )
-        )()
+            lambda p, m, k: enc.apply(p, m, True, rngs={"dropout": k})
+        )(enc_p, modified0, jax.random.PRNGKey(3))
 
-        def seg_encoder(key, _):
+        def seg_encoder(key, enc_p, modified0):
             s, _m = enc.apply(enc_p, modified0, False, rngs={"dropout": key})
             return jnp.sum(s.astype(jnp.float32)[..., :1])
 
-        def seg_blocks(key, _):
+        def seg_blocks(key, blocks_p, seq0, seq_mask0):
             h = blocks.apply(
                 blocks_p,
                 seq0 + jax.random.uniform(key, (), seq0.dtype) * 1e-30,
@@ -200,14 +206,13 @@ def main(argv=None):
             return jnp.sum(h.astype(jnp.float32)[..., :1])
 
         h0 = jax.jit(
-            lambda: blocks.apply(blocks_p, seq0, seq_mask0,
-                                 deterministic=True)
-        )()
+            lambda p, s, m: blocks.apply(p, s, m, deterministic=True)
+        )(blocks_p, seq0, seq_mask0)
         outputs0 = jax.jit(
-            lambda: model.apply(state.params, modified0, True)
-        )()
+            lambda p, m: model.apply(p, m, True)
+        )(state.params, modified0)
 
-        def seg_decoder(key, _):
+        def seg_decoder(key, dec_p, h0):
             out = dec.apply(
                 dec_p, h0 + jax.random.uniform(key, (), h0.dtype) * 1e-30,
                 False, rngs={"dropout": key},
@@ -216,18 +221,22 @@ def main(argv=None):
                 jnp.sum(v.astype(jnp.float32)[..., :1]) for v in out.values()
             )
 
-        def seg_loss(key, _):
+        def seg_loss(key, targets0, outputs0, masks0):
+            # eps in each output's OWN dtype: a float32 eps would promote
+            # bf16 logits and time an all-f32 loss under --dtype bfloat16.
             eps = jax.random.uniform(key, (), jnp.float32) * 1e-30
-            out = {k2: v + eps for k2, v in outputs0.items()}
+            out = {
+                k2: v + eps.astype(v.dtype) for k2, v in outputs0.items()
+            }
             loss, _m = compute_mfp_loss(schema, targets0, out, masks0)
             return loss
 
         fine = {
-            "model_fwd_ms": timed(seg_model, state),
-            "encoder_ms": timed(seg_encoder, state),
-            "blocks_ms": timed(seg_blocks, state),
-            "decoder_ms": timed(seg_decoder, state),
-            "loss_ms": timed(seg_loss, state),
+            "model_fwd_ms": timed(seg_model, state, modified0),
+            "encoder_ms": timed(seg_encoder, enc_p, modified0),
+            "blocks_ms": timed(seg_blocks, blocks_p, seq0, seq_mask0),
+            "decoder_ms": timed(seg_decoder, dec_p, h0),
+            "loss_ms": timed(seg_loss, targets0, outputs0, masks0),
         }
 
     # Full step: the state must be CARRIED through the scan (as the trainer
@@ -238,20 +247,16 @@ def main(argv=None):
 
     def timed_full():
         def many(state, batch):
-            # Vary the key per iteration: with a fixed key the masking
-            # subgraph is loop-invariant and XLA hoists it out of the
-            # scan, understating the full step (the trainer folds the
-            # step counter into the key the same way).
+            # base_step folds state.step into the key internally and the
+            # carried step increments every iteration, so no iteration's
+            # RNG-dependent work is loop-invariant — a fixed base key is
+            # exactly what the trainer's epoch scan passes.
             def body(st, i):
-                st2, metrics = base_step(
-                    st, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
-                )
+                st2, metrics = base_step(st, batch, jax.random.PRNGKey(0))
                 return st2, None
 
             st, _ = jax.lax.scan(body, state, jnp.arange(args.iters - 1))
-            _, metrics = base_step(
-                st, batch, jax.random.PRNGKey(args.iters)
-            )
+            _, metrics = base_step(st, batch, jax.random.PRNGKey(0))
             return metrics["loss"]
 
         m = jax.jit(many)
