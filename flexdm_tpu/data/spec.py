@@ -141,6 +141,13 @@ class Vocab:
         elif kind == "bytes" and (
             flat.dtype.kind in "SU" or flat.dtype == object
         ):
+            if flat.dtype == object and not all(
+                isinstance(v, (bytes, str)) for v in flat
+            ):
+                # np.asarray(np.bytes_) would STRINGIFY non-string scalars
+                # (int 1 -> b'1'), silently diverging from lookup_scalar;
+                # leave exotic element types to the exact scalar loop.
+                return None
             try:
                 q = np.asarray(flat, dtype=np.bytes_)
             except (TypeError, UnicodeEncodeError, ValueError):

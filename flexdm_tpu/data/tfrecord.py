@@ -129,9 +129,9 @@ def decode_float_feature(
 
     Single-feature special case of :func:`make_seq_feature_decoder` (the
     production path) kept as the minimal ABI example + test surface.  Row
-    semantics follow the shared C++ decoder: a present-but-empty Feature
-    row counts as a zero row (it occupies its position) rather than being
-    compacted away.
+    semantics follow the shared C++ decoder: every present row must hold
+    exactly ``row_size`` values (TF ``FixedLenSequenceFeature`` strictness;
+    raises ValueError on ragged or wrong-typed rows).
     """
     lib = _load_native()
     if lib is None:
@@ -157,7 +157,10 @@ def decode_float_feature(
         row_size,
     )
     if n < 0:
-        raise IOError(f"native float decode failed for {name} (code {n})")
+        raise ValueError(
+            f"malformed feature list {name!r}: row {-n - 1} does not hold "
+            f"exactly {row_size} float values"
+        )
     return out[: int(n)]
 
 
@@ -205,10 +208,19 @@ class SeqFeatureDecoder:
         )
         if rc < 0:
             raise IOError(f"native sequence decode failed (code {rc})")
-        return {
-            m[0]: (int(rows_out[i]), arrays[i])
-            for i, m in enumerate(self.metas)
-        }
+        out = {}
+        for i, m in enumerate(self.metas):
+            n_rows = int(rows_out[i])
+            if n_rows < 0:
+                # The C++ decoder flags row -(n_rows) - 1 as ragged or
+                # wrong-typed (a row must carry exactly row_size values,
+                # matching TF's FixedLenSequenceFeature strictness).
+                raise ValueError(
+                    f"malformed feature list {m[0]!r}: row {-n_rows - 1} "
+                    f"does not hold exactly {m[3]} {m[1]} values"
+                )
+            out[m[0]] = (n_rows, arrays[i])
+        return out
 
 
 def make_seq_feature_decoder(metas) -> Optional["SeqFeatureDecoder"]:

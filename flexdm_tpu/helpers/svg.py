@@ -65,7 +65,7 @@ def load_fonts_css(path: str) -> Optional[str]:
         path = os.path.join(path, "fonts.css")
     if not os.path.isfile(path):
         return None
-    with open(path) as f:
+    with open(path, encoding="utf-8") as f:
         return f.read()
 
 

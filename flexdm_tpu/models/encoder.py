@@ -149,10 +149,10 @@ class Encoder(nn.Module):
             keys_s.append("__fused_sequence__")
 
         for column in schema.valid_columns(self.use_canvas):
+            if self.fusion == "add" and column.is_sequence:
+                continue  # every sequence column is in the fused matmul
             x = inputs[column.name]
             if column.is_categorical:
-                if self.fusion == "add" and column.is_sequence:
-                    continue  # handled by the fused path above
                 table = self.param(
                     f"input_{column.name}",
                     keras_embed_init,
@@ -163,8 +163,6 @@ class Encoder(nn.Module):
                 onehot = jnp.sum(onehot, axis=2 if column.is_sequence else 1)
                 h = onehot @ table.astype(cdt)
             else:
-                if self.fusion == "add" and column.is_sequence:
-                    continue  # handled by the fused path above
                 special = self.param(
                     f"input_{column.name}_special",
                     keras_embed_init,

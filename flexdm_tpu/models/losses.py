@@ -100,6 +100,12 @@ def _apply_sorting(
     y_true_sort = y_true if ignore_sort == "gt" else sort_inputs(y_true, schema)
 
     y_pred = dict(y_pred)
+    # sort_inputs needs lengths; inject the GT ones for ordering only.  The
+    # injected entry must not leak into the returned predictions — the
+    # predict_context canvas branch would otherwise score raw label values
+    # as "logits" for a length head that never existed (or clobber a
+    # genuine one; canvas entries are per-document and never sorted).
+    orig_length = y_pred.get("length")
     y_pred["length"] = y_true["length"]
     y_pred_sort = (
         y_pred
@@ -121,7 +127,10 @@ def _apply_sorting(
             new_pred[name] = jnp.where(pflag, y_pred_sort[name], y_pred[name])
         else:
             new_true[name] = y_true[name]
-            if name in y_pred:
+            if name == "length":
+                if orig_length is not None:
+                    new_pred[name] = orig_length
+            elif name in y_pred:
                 new_pred[name] = y_pred[name]
     return new_true, new_pred
 

@@ -143,7 +143,10 @@ bool find_len_field(Cursor c, uint32_t field, Cursor* out, Cursor* rest) {
 }
 
 // Decode the Feature rows of a FeatureList into a fixed-width float buffer.
-// Rows shorter than row_size keep the caller's zero fill.
+// Every row must carry exactly row_size values (TF's
+// FixedLenSequenceFeature raises on ragged rows; silent zero-fill or
+// truncation would feed corrupt data into training) — a malformed row r
+// returns -(r+1).
 long long decode_float_rows(Cursor flist, float* out, long long max_rows,
                             long long row_size) {
   long long row = 0;
@@ -155,15 +158,15 @@ long long decode_float_rows(Cursor flist, float* out, long long max_rows,
     // Feature.float_list = field 2; FloatList.value = field 1 (packed).
     Cursor float_list;
     if (!find_len_field(feature, 2, &float_list, nullptr)) {
-      ++row;  // present but not a float row; keep zeros
-      continue;
+      return -(row + 1);  // wrong-typed or empty row
     }
     Cursor packed;
+    long long n = 0;
     if (find_len_field(float_list, 1, &packed, nullptr)) {
-      long long n = (packed.end - packed.p) / 4;
-      if (n > row_size) n = row_size;
-      std::memcpy(out + row * row_size, packed.p, n * 4);
+      n = (packed.end - packed.p) / 4;
     }
+    if (n != row_size) return -(row + 1);
+    std::memcpy(out + row * row_size, packed.p, n * 4);
     ++row;
   }
   return row;
@@ -181,8 +184,7 @@ long long decode_int64_rows(Cursor flist, int64_t* out, long long max_rows,
     // Feature.int64_list = field 3; Int64List.value = field 1.
     Cursor int_list;
     if (!find_len_field(feature, 3, &int_list, nullptr)) {
-      ++row;
-      continue;
+      return -(row + 1);  // wrong-typed or empty row
     }
     int64_t* dst = out + row * row_size;
     long long k = 0;
@@ -210,6 +212,7 @@ long long decode_int64_rows(Cursor flist, int64_t* out, long long max_rows,
         break;
       }
     }
+    if (k != row_size) return -(row + 1);  // ragged row
     ++row;
   }
   return row;
@@ -300,7 +303,8 @@ long long flexdm_decode_float_feature(const unsigned char* payload,
 // SequenceExample in a single pass (extends the float-only fast path to
 // int64 and narrow columns — the whole schema short of demo-only strings).
 // kinds[i]: 1 = float32 buffer, 2 = int64 buffer.  rows_out[i] receives the
-// row count written (0 when the key is absent).  Returns 0 on success.
+// row count written (0 when the key is absent), or -(row+1) when row `row`
+// is ragged or wrong-typed.  Returns 0 on success.
 long long flexdm_decode_seq_features(
     const unsigned char* payload, long long payload_len,
     const char* const* names, const unsigned char* kinds, long long num_names,

@@ -189,3 +189,35 @@ def test_predict_context_scores_canvas_columns():
     _, m2 = L.compute_mfp_loss(schema, x, bad, masks, predict_context=True)
     assert float(m2["length_score"]) == 0.0
     assert float(m2["left_score"]) == 1.0
+
+
+def test_sorting_does_not_leak_length_into_predict_context():
+    """_apply_sorting injects GT lengths into y_pred for ordering only; with
+    predict_context=True that entry must NOT be scored as a length head
+    (raw labels are not logits)."""
+    schema = tiny_schema()
+    x = tiny_inputs(schema=schema, lengths=(1, 2, 3, 4))
+    seq = M.get_seq_mask(x["length"], schema.max_length)
+    masks = M.get_initial_masks(schema, seq)
+    for c in schema.modeled:
+        if c.is_sequence:
+            masks[c.name] = seq
+    pred = _perfect_predictions(schema, x)
+    assert "length" not in pred
+    flag = jnp.ones((x["length"].shape[0],), dtype=bool)
+
+    loss, metrics = L.compute_mfp_loss(
+        schema, x, pred, masks, sort_flag=flag, predict_context=True
+    )
+    assert "length_score" not in metrics
+    assert np.isfinite(float(loss))
+
+    # A genuine length head passed by the caller IS still scored.
+    pred2 = dict(pred)
+    pred2["length"] = 10.0 * jax.nn.one_hot(
+        x["length"], schema["length"].input_dim
+    )
+    _, m2 = L.compute_mfp_loss(
+        schema, x, pred2, masks, sort_flag=flag, predict_context=True
+    )
+    assert float(m2["length_score"]) == 1.0

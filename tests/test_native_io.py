@@ -172,3 +172,30 @@ def test_decode_record_native_matches_python_synthetic(tmp_path):
             else:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
                 assert a[k].dtype == b[k].dtype, k
+
+
+def test_native_decode_rejects_malformed_rows():
+    """Every present row must hold exactly row_size values — TF's
+    FixedLenSequenceFeature strictness; silent zero-fill/truncation would
+    feed corrupt token ids into training."""
+    from flexdm_tpu.data import example_proto as ep
+
+    dec = tfrecord.make_seq_feature_decoder([("type", "int64", 10, 1)])
+    if dec is None:
+        pytest.skip("native library not built")
+    with pytest.raises(ValueError, match="row 0 .* 1 int64"):
+        dec(ep.encode_sequence_example({}, {"type": [[1, 2], [3]]}))
+
+    decf = tfrecord.make_seq_feature_decoder([("emb", "float", 10, 16)])
+    with pytest.raises(ValueError, match="row 1 .* 16 float"):
+        decf(
+            ep.encode_sequence_example(
+                {}, {"emb": [[1.0] * 16, [1.0] * 15]}
+            )
+        )
+    # wrong-typed row: float data in an int64 column
+    with pytest.raises(ValueError, match="row 0"):
+        dec(ep.encode_sequence_example({}, {"type": [[1.5]]}))
+    # absent feature stays a legitimate 0-row decode
+    ok = dec(ep.encode_sequence_example({}, {"other": [[1]]}))
+    assert ok["type"][0] == 0

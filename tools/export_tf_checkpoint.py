@@ -42,9 +42,11 @@ def export(
     Returns (tensors, report): ``tensors`` maps every checkpoint key to the
     value to write (ours where the key maps to a parameter, the template's
     otherwise); the report lists our leaves that found no destination
-    (``unexported`` — must be empty for a faithful export) and template
+    (``unexported`` — must be empty for a faithful export), template
     variables kept verbatim (``kept``; keras bookkeeping plus optimizer
-    slots when the template came from a training run).
+    slots when the template came from a training run), and template MODEL
+    variables we could not fill (``unfilled`` — must be empty, else the
+    output would mix template and exported weights).
     """
     import jax
 
@@ -57,6 +59,7 @@ def export(
     tensors: Dict[str, np.ndarray] = {}
     used = set()
     kept = []
+    unfilled = []
     for key, value in template_variables.items():
         target = None
         if "optimizer" not in key and "save_counter" not in key:
@@ -75,6 +78,11 @@ def export(
                 tensors[key] = arr
                 used.add(keys)
                 continue
+            # A MODEL variable of the template with no counterpart in our
+            # tree (e.g. the template has more blocks, or context heads we
+            # lack): keeping the template's trained weights would write a
+            # silent frankenstein that loads cleanly and evaluates wrong.
+            unfilled.append(key)
         kept.append(key)
         tensors[key] = value
 
@@ -82,7 +90,9 @@ def export(
         "/".join(keys) for keys, _ in index.values() if keys not in used
     ]
     del template_dtypes  # consumed by write_v2_checkpoint, kept for symmetry
-    return tensors, {"unexported": unexported, "kept": kept}
+    return tensors, {
+        "unexported": unexported, "kept": kept, "unfilled": unfilled
+    }
 
 
 def write_v2_checkpoint(
@@ -152,6 +162,12 @@ def main(argv=None):
         raise SystemExit(
             "refusing to write a partial export; unexported parameters:\n  "
             + "\n  ".join(report["unexported"])
+        )
+    if report["unfilled"]:
+        raise SystemExit(
+            "refusing to write a mixed-weights export; template MODEL "
+            "variables with no counterpart in our params (architecture "
+            "mismatch?):\n  " + "\n  ".join(report["unfilled"])
         )
     write_v2_checkpoint(args.out, tensors, dtypes)
     print(f"wrote {args.out} ({len(tensors)} entries, "
