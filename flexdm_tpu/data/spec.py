@@ -410,6 +410,33 @@ class DatasetSpec:
             )
         return self._native_decoder_cache
 
+    @property
+    def _native_layout(self):
+        """Companion decoder for the REST of the record — string sequence
+        columns and all context features — so a full decode never enters
+        the Python proto parser (``flexdm_decode_strings_and_context``).
+        None when the native library (or entry point) is unavailable.
+        """
+        if not hasattr(self, "_native_layout_cache"):
+            seq_names, ctx_metas = [], []
+            for name, column in self.columns.items():
+                shape = tuple(column.get("shape", (1,)))
+                dt = column["dtype"]
+                if column.get("is_sequence", False):
+                    if dt == "string":
+                        seq_names.append(name)
+                else:
+                    kind = (
+                        "bytes" if dt == "string"
+                        else "float" if dt.startswith("float")
+                        else "int64"
+                    )
+                    ctx_metas.append((name, kind, int(np.prod(shape))))
+            self._native_layout_cache = tfrecord.make_string_context_decoder(
+                seq_names, ctx_metas, self.max_length
+            )
+        return self._native_layout_cache
+
     def decode_record(self, payload: bytes) -> Dict[str, np.ndarray]:
         """One serialized SequenceExample -> padded, preprocessed arrays.
 
@@ -428,44 +455,87 @@ class DatasetSpec:
             frozenset(m[0] for m in metas) if native is not None
             else frozenset()
         )
-        context, feature_lists = example_proto.decode_sequence_example(
-            payload, skip_sequence_keys=native_keys
-        )
+        layout = self._native_layout if native is not None else None
+        if layout is not None:
+            # The two native passes cover the whole record (numeric rows +
+            # string rows + context); column names are unique, so one dict
+            # serves both the sequence and context lookups below.
+            context = feature_lists = layout(payload)
+        else:
+            context, feature_lists = example_proto.decode_sequence_example(
+                payload, skip_sequence_keys=native_keys
+            )
         S = self.max_length
         out: Dict[str, np.ndarray] = {}
-        for name, column in self.columns.items():
-            shape = tuple(column.get("shape", (1,)))
-            np_dtype = _NP_DTYPES[column["dtype"]]
+        for name, column, shape, np_dtype, is_seq in self._column_plan:
             if name in native_keys:
                 n_rows, flat = native[name]
                 arr = flat.reshape((S,) + shape)
                 if arr.dtype != np_dtype:
                     arr = arr.astype(np_dtype)
-            elif column.get("is_sequence", False):
+            elif is_seq:
                 rows = feature_lists.get(name, [])
-                arr = np.zeros((S,) + shape, dtype=np_dtype)
-                if np_dtype is object:
-                    arr[:] = b""
                 n = min(len(rows), S)
-                if n:
-                    try:  # one bulk conversion (rows are regular)
-                        arr[:n] = np.asarray(
-                            rows[:n], dtype=np_dtype
+                if np_dtype is object and name in self.vocabs:
+                    # Fixed-width 'S' array instead of object: the vocab's
+                    # vectorized searchsorted takes it directly, skipping
+                    # the per-element type check object arrays require.
+                    # (rows are flat bytes from the native decoder, or
+                    # [bytes] lists from the Python parser — asarray
+                    # handles both; S-dtype zeros read back as b"".)
+                    if n:
+                        head = np.asarray(
+                            rows[:n], dtype=np.bytes_
                         ).reshape((n,) + shape)
-                    except (ValueError, TypeError):  # ragged rows
-                        for j, row in enumerate(rows[:n]):
-                            arr[j] = np.asarray(
-                                row, dtype=np_dtype
-                            ).reshape(shape)
+                        arr = np.zeros((S,) + shape, dtype=head.dtype)
+                        arr[:n] = head
+                    else:
+                        arr = np.zeros((S,) + shape, dtype="S1")
+                else:
+                    arr = np.zeros((S,) + shape, dtype=np_dtype)
+                    if np_dtype is object:
+                        arr[:] = b""
+                    if n:
+                        try:  # one bulk conversion (rows are regular)
+                            arr[:n] = np.asarray(
+                                rows[:n], dtype=np_dtype
+                            ).reshape((n,) + shape)
+                        except (ValueError, TypeError):  # ragged rows
+                            for j, row in enumerate(rows[:n]):
+                                arr[j] = np.asarray(
+                                    row, dtype=np_dtype
+                                ).reshape(shape)
             else:
                 vals = context.get(name, [])
-                arr = np.zeros(shape, dtype=np_dtype)
-                if np_dtype is object:
-                    arr[:] = b""
-                if len(vals):
-                    arr[:] = np.asarray(vals, dtype=np_dtype).reshape(shape)
+                if np_dtype is object and name in self.vocabs and len(vals):
+                    arr = np.asarray(vals, dtype=np.bytes_).reshape(shape)
+                else:
+                    arr = np.zeros(shape, dtype=np_dtype)
+                    if np_dtype is object:
+                        arr[:] = b""
+                    if len(vals):
+                        arr[:] = np.asarray(
+                            vals, dtype=np_dtype
+                        ).reshape(shape)
             out[name] = arr
         return self.preprocess(out)
+
+    @property
+    def _column_plan(self):
+        """Cached (name, column, shape, np_dtype, is_sequence) tuples — the
+        per-record decode loop's dict/shape lookups hoisted out."""
+        if not hasattr(self, "_column_plan_cache"):
+            self._column_plan_cache = tuple(
+                (
+                    name,
+                    column,
+                    tuple(column.get("shape", (1,))),
+                    _NP_DTYPES[column["dtype"]],
+                    bool(column.get("is_sequence", False)),
+                )
+                for name, column in self.columns.items()
+            )
+        return self._column_plan_cache
 
     def preprocess(self, raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Apply lookups/binning; ints -> int32 (reference spec.py:278-287)."""

@@ -21,6 +21,7 @@ import ctypes
 import glob as globlib
 import os
 import struct
+import threading
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -174,7 +175,14 @@ class SeqFeatureDecoder:
     marshalling cost the un-cached form ~15% of decode throughput).
     """
 
-    def __init__(self, metas):
+    def __init__(self, metas, fn):
+        # Bind the argtype-configured function object at CONSTRUCTION.
+        # Re-fetching _load_native() per call is a segfault hazard: if the
+        # lib cache is reset (tests do), the fresh CDLL's functions carry no
+        # argtypes and ctypes passes 64-bit params as 32-bit ints with
+        # undefined upper register bits — the C side then loops on a
+        # garbage count.
+        self._fn = fn
         self.metas = tuple(metas)
         n = len(self.metas)
         self._names = (ctypes.c_char_p * n)(
@@ -194,7 +202,6 @@ class SeqFeatureDecoder:
         ]
 
     def __call__(self, payload: bytes) -> dict:
-        lib = _load_native()
         n = len(self.metas)
         arrays = [
             np.zeros((m[2], m[3]), dtype=dt)
@@ -202,7 +209,7 @@ class SeqFeatureDecoder:
         ]
         outs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrays])
         rows_out = (ctypes.c_longlong * n)()
-        rc = lib.flexdm_decode_seq_features(
+        rc = self._fn(
             payload, len(payload), self._names, self._kinds, n, outs,
             self._max_rows, self._row_sizes, rows_out,
         )
@@ -245,13 +252,148 @@ def make_seq_feature_decoder(metas) -> Optional["SeqFeatureDecoder"]:
             ctypes.POINTER(ctypes.c_longlong),
         ]
         lib._seq_sig_set = True
-    return SeqFeatureDecoder(metas)
+    return SeqFeatureDecoder(metas, lib.flexdm_decode_seq_features)
 
 
 def decode_seq_features(payload: bytes, metas) -> Optional[dict]:
     """One-shot convenience wrapper over :class:`SeqFeatureDecoder`."""
     decoder = make_seq_feature_decoder(metas)
     return None if decoder is None else decoder(payload)
+
+
+class StringContextDecoder:
+    """One-native-pass decoder for STRING sequence feature-lists plus ALL
+    context features (C++: ``flexdm_decode_strings_and_context``) — with
+    :class:`SeqFeatureDecoder` it covers the entire record, so a full
+    decode never enters the Python proto parser.
+
+    ``seq_names``: string sequence columns (one bytes value per row).
+    ``ctx_metas``: ``(name, kind, cap)`` with kind ``'float'``/``'int64'``/
+    ``'bytes'`` and ``cap`` the max values the feature may carry.
+    Returns ``{name: [bytes rows]}`` for sequences and ``{name: ndarray or
+    [bytes]}`` for context (trimmed to the actual count).
+    """
+
+    def __init__(self, seq_names, ctx_metas, max_rows: int, fn):
+        self._fn = fn  # bound at construction; see SeqFeatureDecoder
+        self.seq_names = tuple(seq_names)
+        self.ctx_metas = tuple(ctx_metas)
+        self.max_rows = int(max_rows)
+        ns, nc = len(self.seq_names), len(self.ctx_metas)
+        self.ctx_cap = max([m[2] for m in self.ctx_metas], default=1)
+        self._seq_names_c = (ctypes.c_char_p * ns)(
+            *[n.encode() for n in self.seq_names]
+        )
+        kind_code = {"float": 1, "int64": 2, "bytes": 3}
+        self._ctx_names_c = (ctypes.c_char_p * nc)(
+            *[m[0].encode() for m in self.ctx_metas]
+        )
+        self._ctx_kinds_c = (ctypes.c_ubyte * nc)(
+            *[kind_code[m[1]] for m in self.ctx_metas]
+        )
+        # Reusable scratch buffers (all outputs are COPIED out before
+        # returning, so per-record allocation is pure overhead) — held
+        # THREAD-LOCAL: one spec's decoder can run concurrently from a
+        # Prefetcher worker and the main thread, and shared scratch would
+        # silently interleave two records' offsets.
+        self._local = threading.local()
+
+    def _scratch(self):
+        s = getattr(self._local, "s", None)
+        if s is None:
+            ns, nc = len(self.seq_names), len(self.ctx_metas)
+            R, C = self.max_rows, self.ctx_cap
+
+            def ptr(a, t):
+                return a.ctypes.data_as(ctypes.POINTER(t))
+
+            seq_rows = (ctypes.c_longlong * max(ns, 1))()
+            seq_offs = np.zeros((ns, R), dtype=np.int64)
+            seq_lens = np.zeros((ns, R), dtype=np.int64)
+            ctx_counts = (ctypes.c_longlong * max(nc, 1))()
+            ctx_ints = np.zeros((nc, C), dtype=np.int64)
+            ctx_floats = np.zeros((nc, C), dtype=np.float32)
+            ctx_offs = np.zeros((nc, C), dtype=np.int64)
+            ctx_lens = np.zeros((nc, C), dtype=np.int64)
+            args = (
+                self._seq_names_c, ns, R, seq_rows,
+                ptr(seq_offs, ctypes.c_longlong),
+                ptr(seq_lens, ctypes.c_longlong),
+                self._ctx_names_c, self._ctx_kinds_c, nc, C, ctx_counts,
+                ptr(ctx_ints, ctypes.c_longlong),
+                ptr(ctx_floats, ctypes.c_float),
+                ptr(ctx_offs, ctypes.c_longlong),
+                ptr(ctx_lens, ctypes.c_longlong),
+            )
+            s = (
+                args, seq_rows, seq_offs, seq_lens, ctx_counts,
+                ctx_ints, ctx_floats, ctx_offs, ctx_lens,
+            )
+            self._local.s = s
+        return s
+
+    def __call__(self, payload: bytes) -> dict:
+        ns = len(self.seq_names)
+        (
+            args, seq_rows, seq_offs, seq_lens, ctx_counts,
+            ctx_ints, ctx_floats, ctx_offs, ctx_lens,
+        ) = self._scratch()
+        rc = self._fn(payload, len(payload), *args)
+        if rc < 0:
+            k = -int(rc) - 1
+            name = (
+                self.seq_names[k] if k < ns
+                else self.ctx_metas[k - ns][0]
+            )
+            raise ValueError(f"malformed feature {name!r} (native decode)")
+        out = {}
+        for i, name in enumerate(self.seq_names):
+            n = int(seq_rows[i])
+            out[name] = [
+                payload[seq_offs[i, r]: seq_offs[i, r] + seq_lens[i, r]]
+                for r in range(n)
+            ]
+        for j, (name, kind, _cap) in enumerate(self.ctx_metas):
+            n = int(ctx_counts[j])
+            if kind == "bytes":
+                out[name] = [
+                    payload[ctx_offs[j, k]: ctx_offs[j, k] + ctx_lens[j, k]]
+                    for k in range(n)
+                ]
+            elif kind == "float":
+                out[name] = ctx_floats[j, :n].copy()
+            else:
+                out[name] = ctx_ints[j, :n].copy()
+        return out
+
+
+def make_string_context_decoder(
+    seq_names, ctx_metas, max_rows: int
+) -> Optional["StringContextDecoder"]:
+    """A :class:`StringContextDecoder`, or None when the native library (or
+    this entry point, for a stale .so) is unavailable."""
+    lib = _load_native()
+    if lib is None or not (seq_names or ctx_metas):
+        return None
+    if not hasattr(lib, "flexdm_decode_strings_and_context"):
+        return None
+    if not getattr(lib, "_strctx_sig_set", False):
+        LL = ctypes.c_longlong
+        lib.flexdm_decode_strings_and_context.restype = LL
+        lib.flexdm_decode_strings_and_context.argtypes = [
+            ctypes.c_char_p, LL,
+            ctypes.POINTER(ctypes.c_char_p), LL, LL,
+            ctypes.POINTER(LL), ctypes.POINTER(LL), ctypes.POINTER(LL),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ubyte),
+            LL, LL, ctypes.POINTER(LL),
+            ctypes.POINTER(LL), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(LL), ctypes.POINTER(LL),
+        ]
+        lib._strctx_sig_set = True
+    return StringContextDecoder(
+        seq_names, ctx_metas, max_rows,
+        lib.flexdm_decode_strings_and_context,
+    )
 
 
 def read_records(path: str, verify_crc: bool = False) -> List[bytes]:

@@ -346,4 +346,178 @@ long long flexdm_decode_seq_features(
   return 0;
 }
 
+// Decode every requested STRING sequence feature-list and ALL context
+// features in one pass — the rest of the record once
+// flexdm_decode_seq_features has taken the numeric columns, so a full
+// decode never touches the Python proto parser.
+//
+// Sequence names: each row must hold exactly ONE bytes value; outputs are
+// (offset, length) pairs into the payload, (num_seq, max_rows) flattened;
+// seq_rows[i] receives the row count (0 when absent).
+//
+// Context names: kinds[j] 1 = float (ctx_floats), 2 = int64 (ctx_ints),
+// 3 = bytes (ctx_offs/ctx_lens as payload spans); each feature may carry
+// up to ctx_cap values, buffers are (num_ctx, ctx_cap) flattened and
+// ctx_counts[j] receives the value count (0 when absent).
+//
+// Returns 0 on success, -(i+1) for a malformed sequence item i, or
+// -(num_seq+j+1) for a malformed/overflowing context item j.
+long long flexdm_decode_strings_and_context(
+    const unsigned char* payload, long long payload_len,
+    const char* const* seq_names, long long num_seq, long long max_rows,
+    long long* seq_rows, long long* seq_offs, long long* seq_lens,
+    const char* const* ctx_names, const unsigned char* ctx_kinds,
+    long long num_ctx, long long ctx_cap, long long* ctx_counts,
+    long long* ctx_ints, float* ctx_floats, long long* ctx_offs,
+    long long* ctx_lens) {
+  for (long long i = 0; i < num_seq; ++i) seq_rows[i] = 0;
+  for (long long j = 0; j < num_ctx; ++j) ctx_counts[j] = 0;
+  const uint8_t* base = payload;
+  Cursor se{payload, payload + payload_len};
+
+  std::vector<size_t> seq_name_lens(num_seq), ctx_name_lens(num_ctx);
+  for (long long i = 0; i < num_seq; ++i)
+    seq_name_lens[i] = std::strlen(seq_names[i]);
+  for (long long j = 0; j < num_ctx; ++j)
+    ctx_name_lens[j] = std::strlen(ctx_names[j]);
+
+  // --- context: SequenceExample.context = field 1 (Features map) ---------
+  Cursor context;
+  if (num_ctx > 0 && find_len_field(se, 1, &context, nullptr)) {
+    Cursor c = context;
+    while (c.p < c.end) {
+      Cursor entry, rest;
+      if (!find_len_field(c, 1, &entry, &rest)) break;
+      c = rest;
+      Cursor key;
+      if (!find_len_field(entry, 1, &key, nullptr)) continue;
+      size_t klen = (size_t)(key.end - key.p);
+      for (long long j = 0; j < num_ctx; ++j) {
+        if (klen != ctx_name_lens[j] ||
+            std::memcmp(key.p, ctx_names[j], klen) != 0)
+          continue;
+        Cursor feature;
+        if (!find_len_field(entry, 2, &feature, nullptr))
+          return -(num_seq + j + 1);
+        long long k = 0;
+        if (ctx_kinds[j] == 1) {  // float: Feature.float_list = field 2
+          Cursor fl;
+          if (!find_len_field(feature, 2, &fl, nullptr))
+            return -(num_seq + j + 1);
+          Cursor ic = fl;
+          while (ic.p < ic.end) {
+            uint64_t fkey;
+            if (!read_varint(&ic, &fkey)) break;
+            uint32_t f = fkey >> 3, wire = fkey & 7;
+            if (f == 1 && wire == 2) {  // packed
+              uint64_t n;
+              if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
+                return -(num_seq + j + 1);
+              long long vals = (long long)(n / 4);
+              if (k + vals > ctx_cap) return -(num_seq + j + 1);
+              std::memcpy(ctx_floats + j * ctx_cap + k, ic.p, vals * 4);
+              k += vals;
+              ic.p += n;
+            } else if (f == 1 && wire == 5) {  // unpacked
+              if (ic.end - ic.p < 4 || k >= ctx_cap)
+                return -(num_seq + j + 1);
+              std::memcpy(ctx_floats + j * ctx_cap + k, ic.p, 4);
+              ++k;
+              ic.p += 4;
+            } else if (!skip_field(&ic, wire)) {
+              return -(num_seq + j + 1);
+            }
+          }
+        } else if (ctx_kinds[j] == 2) {  // int64: Feature.int64_list = 3
+          Cursor il;
+          if (!find_len_field(feature, 3, &il, nullptr))
+            return -(num_seq + j + 1);
+          Cursor ic = il;
+          while (ic.p < ic.end) {
+            uint64_t ikey;
+            if (!read_varint(&ic, &ikey)) break;
+            uint32_t f = ikey >> 3, wire = ikey & 7;
+            uint64_t v;
+            if (f == 1 && wire == 2) {  // packed
+              uint64_t n;
+              if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
+                return -(num_seq + j + 1);
+              Cursor pc{ic.p, ic.p + n};
+              ic.p += n;
+              while (pc.p < pc.end && read_varint(&pc, &v)) {
+                if (k >= ctx_cap) return -(num_seq + j + 1);
+                ctx_ints[j * ctx_cap + k] = (int64_t)v;
+                ++k;
+              }
+            } else if (f == 1 && wire == 0) {
+              if (!read_varint(&ic, &v) || k >= ctx_cap)
+                return -(num_seq + j + 1);
+              ctx_ints[j * ctx_cap + k] = (int64_t)v;
+              ++k;
+            } else if (!skip_field(&ic, wire)) {
+              return -(num_seq + j + 1);
+            }
+          }
+        } else {  // bytes: Feature.bytes_list = field 1
+          Cursor bl;
+          if (!find_len_field(feature, 1, &bl, nullptr))
+            return -(num_seq + j + 1);
+          Cursor bc = bl;
+          Cursor val, brest;
+          while (find_len_field(bc, 1, &val, &brest)) {
+            bc = brest;
+            if (k >= ctx_cap) return -(num_seq + j + 1);
+            ctx_offs[j * ctx_cap + k] = (long long)(val.p - base);
+            ctx_lens[j * ctx_cap + k] = (long long)(val.end - val.p);
+            ++k;
+          }
+        }
+        ctx_counts[j] = k;
+        break;
+      }
+    }
+  }
+
+  // --- sequence strings: feature_lists = field 2 --------------------------
+  Cursor feature_lists;
+  if (num_seq > 0 && find_len_field(se, 2, &feature_lists, nullptr)) {
+    Cursor c = feature_lists;
+    while (c.p < c.end) {
+      Cursor entry, rest;
+      if (!find_len_field(c, 1, &entry, &rest)) break;
+      c = rest;
+      Cursor key;
+      if (!find_len_field(entry, 1, &key, nullptr)) continue;
+      size_t klen = (size_t)(key.end - key.p);
+      for (long long i = 0; i < num_seq; ++i) {
+        if (klen != seq_name_lens[i] ||
+            std::memcmp(key.p, seq_names[i], klen) != 0)
+          continue;
+        Cursor flist;
+        if (!find_len_field(entry, 2, &flist, nullptr)) return -(i + 1);
+        long long row = 0;
+        Cursor fc = flist;
+        while (fc.p < fc.end && row < max_rows) {
+          Cursor feature, frest;
+          if (!find_len_field(fc, 1, &feature, &frest)) break;
+          fc = frest;
+          Cursor bl;
+          if (!find_len_field(feature, 1, &bl, nullptr)) return -(i + 1);
+          Cursor val, brest;
+          if (!find_len_field(bl, 1, &val, &brest)) return -(i + 1);
+          // exactly one value per row
+          Cursor extra;
+          if (find_len_field(brest, 1, &extra, nullptr)) return -(i + 1);
+          seq_offs[i * max_rows + row] = (long long)(val.p - base);
+          seq_lens[i * max_rows + row] = (long long)(val.end - val.p);
+          ++row;
+        }
+        seq_rows[i] = row;
+        break;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

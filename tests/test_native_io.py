@@ -199,3 +199,58 @@ def test_native_decode_rejects_malformed_rows():
     # absent feature stays a legitimate 0-row decode
     ok = dec(ep.encode_sequence_example({}, {"other": [[1]]}))
     assert ok["type"][0] == 0
+
+
+def test_decoder_survives_lib_cache_reset(tmp_path):
+    """Decoders bind their argtype-configured function at construction; a
+    reloaded lib handle (fresh CDLL, no argtypes) must not be re-fetched
+    per call — untyped 64-bit args pass as 32-bit ints with undefined
+    upper register bits and the C side loops on a garbage count
+    (observed segfault)."""
+    from flexdm_tpu.data import DatasetSpec, synthetic
+
+    d = str(tmp_path / "crello")
+    synthetic.generate("crello", d, 4, 1, 1, seed=5)
+    spec = DatasetSpec("crello", d, batch_size=2)
+    loader = spec.make_dataset("train", batch_size=2)
+    if spec._native_layout is None:
+        pytest.skip("native library not built")
+    payload = loader._payloads[0]
+    before = spec.decode_record(payload)
+    tfrecord._NATIVE_TRIED = False
+    tfrecord._NATIVE_LIB = None
+    after = spec.decode_record(payload)  # cached decoders, reloaded lib
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=k)
+
+
+def test_concurrent_decode_matches_serial(tmp_path):
+    """One spec's decoder runs concurrently from a Prefetcher worker and
+    the main thread; thread-local scratch must keep records intact."""
+    import threading
+
+    from flexdm_tpu.data import DatasetSpec, synthetic
+
+    d = str(tmp_path / "crello")
+    synthetic.generate("crello", d, 64, 1, 1, seed=6)
+    spec = DatasetSpec("crello", d, batch_size=8)
+    payloads = list(spec.make_dataset("train", batch_size=8)._payloads)
+    serial = [spec.decode_record(p) for p in payloads]
+    results = [None] * len(payloads)
+
+    def work(lo, hi):
+        for i in range(lo, hi):
+            results[i] = spec.decode_record(payloads[i])
+
+    mid = len(payloads) // 2
+    ts = [
+        threading.Thread(target=work, args=(0, mid)),
+        threading.Thread(target=work, args=(mid, len(payloads))),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for s, r in zip(serial, results):
+        for k in s:
+            np.testing.assert_array_equal(s[k], r[k], err_msg=k)
