@@ -391,10 +391,9 @@ class DatasetSpec:
         """
         if not hasattr(self, "_native_metas_cache"):
             metas = []
-            for name, column in self.columns.items():
-                shape = tuple(column.get("shape", (1,)))
+            for name, column, shape, np_dtype, is_seq in self._column_plan:
                 dtype = column["dtype"]
-                if column.get("is_sequence", False) and dtype != "string":
+                if is_seq and dtype != "string":
                     kind = "float" if dtype.startswith("float") else "int64"
                     metas.append(
                         (name, kind, self.max_length, int(np.prod(shape)))
@@ -419,11 +418,18 @@ class DatasetSpec:
         """
         if not hasattr(self, "_native_layout_cache"):
             seq_names, ctx_metas = [], []
-            for name, column in self.columns.items():
-                shape = tuple(column.get("shape", (1,)))
+            usable = True
+            for name, column, shape, np_dtype, is_seq in self._column_plan:
                 dt = column["dtype"]
-                if column.get("is_sequence", False):
+                if is_seq:
                     if dt == "string":
+                        if int(np.prod(shape)) != 1:
+                            # The C++ pass requires exactly one bytes value
+                            # per row; a multi-string row column would make
+                            # it reject well-formed data, so fall back to
+                            # the Python parser for the whole record.
+                            usable = False
+                            break
                         seq_names.append(name)
                 else:
                     kind = (
@@ -432,8 +438,10 @@ class DatasetSpec:
                         else "int64"
                     )
                     ctx_metas.append((name, kind, int(np.prod(shape))))
-            self._native_layout_cache = tfrecord.make_string_context_decoder(
-                seq_names, ctx_metas, self.max_length
+            self._native_layout_cache = (
+                tfrecord.make_string_context_decoder(
+                    seq_names, ctx_metas, self.max_length
+                ) if usable else None
             )
         return self._native_layout_cache
 

@@ -284,7 +284,10 @@ def _accumulate(total: Dict[str, float], names, stacked) -> None:
         total[k] += v
 
 
-def _batches(loader, mesh=None) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+def _batches(
+    loader, mesh=None
+) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
+    """Yields (batch, sample_weight, global record ids) per host batch."""
     offset = 0
     for host_batch in loader:
         num_valid = host_batch.get(NUM_VALID_KEY, None)

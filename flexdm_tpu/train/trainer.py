@@ -242,17 +242,26 @@ def make_scan_steps(
 
     ``gather_fn``: pass ``DeviceDataCache.make_gather()`` for a cache whose
     record axis is sharded over the mesh (indices are then device-aligned
-    local indices and the gather is shard-local).  Default: global-index
-    gather constrained to the batch sharding (single-device caches).
+    local indices and the gather is shard-local); default is the
+    global-index gather.  Either way the gathered batch is constrained to
+    the mesh's batch sharding here.
     """
     from ..data.pipeline import gather_batch
 
     batch_sharding = mesh_lib.batch_sharding(mesh)
     if gather_fn is None:
-        def gather_fn(data, idx):
-            return jax.lax.with_sharding_constraint(
-                gather_batch(data, idx), batch_sharding
-            )
+        gather_fn = gather_batch
+    base_gather = gather_fn
+
+    # Constrain EVERY gather's output to the batch sharding, whatever the
+    # gather_fn: a no-op for the shard-local sharded-cache gather (already
+    # P('data')), and the thing that keeps an UNSHARDED cache on a
+    # multi-device mesh from funneling each step through one chip's HBM.
+    # Enforced here so no call site can forget it.
+    def gather_fn(data, idx):
+        return jax.lax.with_sharding_constraint(
+            base_gather(data, idx), batch_sharding
+        )
 
     def scan_steps(state: TrainState, data, indices, base_key):
         def body(state, idx):
@@ -477,16 +486,11 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         # closure capture): captured arrays can be embedded into the
         # serialized HLO, which at dataset scale overflows compile
         # transports.
-        # An unsharded cache must NOT hand its bare gather to the scan: the
-        # default gather_fn re-constrains the batch to P('data'), which is
-        # what keeps an unsharded dataset from funneling every step through
-        # one chip's HBM on a multi-device mesh.
+        # make_scan_steps constrains every gathered batch to P('data')
+        # itself, so the unsharded-cache fallback cannot funnel steps
+        # through one chip regardless of which gather it receives.
         scan_fn = jax.jit(
-            make_scan_steps(
-                base_step,
-                mesh,
-                cache.make_gather() if cache_mesh is not None else None,
-            ),
+            make_scan_steps(base_step, mesh, cache.make_gather()),
             donate_argnums=(0,),
         )
     else:

@@ -155,18 +155,39 @@ long long decode_float_rows(Cursor flist, float* out, long long max_rows,
     Cursor feature, frest;
     if (!find_len_field(fc, 1, &feature, &frest)) break;
     fc = frest;
-    // Feature.float_list = field 2; FloatList.value = field 1 (packed).
+    // Feature.float_list = field 2; FloatList.value = field 1 — packed
+    // (possibly split across several chunks, valid proto) or unpacked
+    // wire-5 entries; accumulate like the int64/context parsers do.
     Cursor float_list;
     if (!find_len_field(feature, 2, &float_list, nullptr)) {
       return -(row + 1);  // wrong-typed or empty row
     }
-    Cursor packed;
-    long long n = 0;
-    if (find_len_field(float_list, 1, &packed, nullptr)) {
-      n = (packed.end - packed.p) / 4;
+    float* dst = out + row * row_size;
+    long long k = 0;
+    Cursor ic = float_list;
+    while (ic.p < ic.end) {
+      uint64_t key;
+      if (!read_varint(&ic, &key)) break;
+      uint32_t f = key >> 3, wire = key & 7;
+      if (f == 1 && wire == 2) {  // packed chunk
+        uint64_t n;
+        if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
+          return -(row + 1);
+        long long vals = (long long)(n / 4);
+        if (k + vals > row_size) return -(row + 1);
+        std::memcpy(dst + k, ic.p, vals * 4);
+        k += vals;
+        ic.p += n;
+      } else if (f == 1 && wire == 5) {  // unpacked
+        if (ic.end - ic.p < 4 || k >= row_size) return -(row + 1);
+        std::memcpy(dst + k, ic.p, 4);
+        ++k;
+        ic.p += 4;
+      } else if (!skip_field(&ic, wire)) {
+        break;
+      }
     }
-    if (n != row_size) return -(row + 1);
-    std::memcpy(out + row * row_size, packed.p, n * 4);
+    if (k != row_size) return -(row + 1);
     ++row;
   }
   return row;

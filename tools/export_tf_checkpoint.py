@@ -62,8 +62,18 @@ def export(
     unfilled = []
     for key, value in template_variables.items():
         target = None
-        if "optimizer" not in key and "save_counter" not in key:
+        is_model_var = (
+            key.endswith(".ATTRIBUTES/VARIABLE_VALUE")
+            and "optimizer" not in key
+            and "save_counter" not in key
+        )
+        if is_model_var:
             target = map_variable(key)
+            if target is None:
+                # A weight the mapping rules don't even recognize (layer the
+                # template variant added/renamed) — same mixed-weights risk
+                # as a mapped-but-absent one.
+                unfilled.append(key)
         if target is not None:
             if target[-1] == "embedding":
                 target = target[:-1]
