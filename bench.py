@@ -40,6 +40,37 @@ import tempfile
 import time
 
 
+def _backend_probe(timeout_s: float):
+    """(ok, error) — run a tiny jitted matmul on a daemon thread, bounded.
+
+    `jax.block_until_ready` is not a reliable barrier here (CLAUDE.md); the
+    probe fetches a VALUE.  A dead relay leaves the thread sleeping in
+    remote compile forever — the daemon flag lets the process exit anyway.
+    """
+    import threading
+
+    done = threading.Event()
+    err = []
+
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))))
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            err.append(repr(e))
+        finally:
+            done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    if not done.wait(timeout_s):
+        return False, f"probe timeout after {timeout_s:.0f}s"
+    if err:
+        return False, err[0]
+    return True, None
+
+
 def _spec(batch_size):
     from flexdm_tpu.data import synthetic
 
@@ -344,6 +375,23 @@ def main() -> None:
     from flexdm_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+
+    # The axon relay can go fully unresponsive (observed: multi-hour
+    # outages where any compile sleeps forever).  Probe the backend with a
+    # bounded tiny matmul first: a hang here must yield one explicit,
+    # parseable error line instead of an eternally-blocked bench run.
+    probe_timeout = float(os.environ.get("FLEXDM_BENCH_PROBE_TIMEOUT", 300))
+    ok, perr = _backend_probe(probe_timeout)
+    if not ok:
+        print(json.dumps({
+            "metric": "train_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"backend unresponsive: {perr}"},
+        }))
+        # A stuck compile thread cannot be cancelled; exit without waiting.
+        os._exit(0)
 
     if args.quick:
         batch_size = args.batch_size or 32
