@@ -169,12 +169,28 @@ def partition_spec(path, shape, model_size: int) -> P:
 
 def shard_params(tree, mesh: Mesh):
     """Place parameters (or any param-shaped tree, e.g. a TrainState) on the
-    mesh with tensor-parallel layouts; everything unmatched is replicated."""
+    mesh with tensor-parallel layouts; everything unmatched is replicated.
+
+    Multi-process: every host is assumed to hold the full value (true for
+    seeded init and checkpoint restores), so each host materializes its own
+    addressable shards via ``make_array_from_callback`` — a bare
+    ``device_put`` of a committed array onto a multi-host sharding would
+    demand cross-host device transfers, which e.g. the CPU backend refuses.
+    """
+    import numpy as np
+
     model_size = mesh.shape.get(MODEL_AXIS, 1)
+    multiprocess = jax.process_count() > 1
 
     def place(path, x):
         spec = partition_spec(path, getattr(x, "shape", ()), model_size)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if not multiprocess:
+            return jax.device_put(x, sharding)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
 
     return jax.tree_util.tree_map_with_path(place, tree)
 

@@ -53,6 +53,53 @@ def main() -> None:
     )
     result = train(config)
 
+    # Multi-host evaluate_task: forces the STREAMING branch (resident
+    # caches are single-process), _batches + shard_global_batch of data,
+    # weights, AND the per-record mask-draw ids — the branch no
+    # single-process test can enter.
+    from flexdm_tpu.data import DatasetSpec, split_device_batch
+    from flexdm_tpu.evaluation.harness import evaluate_task
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.parallel import mesh as mesh_lib
+    from flexdm_tpu.train import checkpoint as ckpt_lib
+    from flexdm_tpu.train import init_params
+
+    spec = DatasetSpec("rico", data_dir, batch_size=8)
+    model = MFPModel(
+        spec.schema, latent_dim=16, num_blocks=1, num_heads=2,
+        attention_impl="xla",
+    )
+    def mark(msg):
+        print(f"[worker {process_id}] {msg}", file=sys.stderr, flush=True)
+
+    mark("train done")
+    sample = split_device_batch(
+        next(iter(spec.make_dataset("test", batch_size=2)))
+    )
+    params = init_params(model, sample, seed=0)
+    # Both processes restore the SAME directory (the primary's): orbax
+    # coordinates multihost restores internally, and per-process paths
+    # would desynchronize its barriers.
+    primary_final = result["checkpoints"]["final"].replace(
+        job_dir, job_dir[: -len(str(process_id))] + "0"
+    )
+    params = ckpt_lib.load_checkpoint(primary_final, params)
+    mark("checkpoint restored")
+    mesh = mesh_lib.make_mesh(len(jax.devices()))
+    params = mesh_lib.shard_params(params, mesh)
+    mark("params sharded")
+    eval_scores = {}
+    for task_mode, group in (
+        ("pos", ("pos", spec.schema.attribute_groups["pos"])),
+        ("random", None),
+    ):
+        ans = evaluate_task(
+            model, params, spec.make_dataset("test", batch_size=8),
+            task_mode, group, mesh=mesh,
+        )
+        mark(f"eval {task_mode} done")
+        eval_scores[task_mode] = {k: float(v) for k, v in ans.items()}
+
     with open(out_json, "w") as f:
         json.dump(
             {
@@ -60,6 +107,7 @@ def main() -> None:
                 "history": result["history"],
                 "test_metrics": result["test_metrics"],
                 "best_val_total_score": result["best_val_total_score"],
+                "eval_scores": eval_scores,
             },
             f,
         )

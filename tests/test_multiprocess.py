@@ -123,3 +123,46 @@ def test_primary_only_writes_logs(distributed_results):
     # both job dirs got orbax checkpoints (every process calls save; orbax
     # coordinates; separate dirs here only because the test isolates them)
     assert os.path.isdir(tmp / "job_0" / "checkpoints" / "final")
+
+
+def test_multihost_eval_matches_single_process(distributed_results, rico_dir):
+    """The multi-host STREAMING eval branch (shard_global_batch of data,
+    weights, and per-record mask ids) must score identically on both hosts
+    AND identically to a single-process eval of the same checkpoint —
+    deterministic group masks exactly, per-record 'random' masks exactly
+    (they depend only on (seed, record id))."""
+    from flexdm_tpu.data import DatasetSpec, split_device_batch
+    from flexdm_tpu.evaluation.harness import evaluate_task
+    from flexdm_tpu.models import MFPModel
+    from flexdm_tpu.train import checkpoint as ckpt_lib
+    from flexdm_tpu.train import init_params
+
+    (r0, r1), tmp = distributed_results
+    assert r0["eval_scores"] == r1["eval_scores"]  # bit-identical JSON
+
+    spec = DatasetSpec("rico", str(rico_dir), batch_size=8)
+    model = MFPModel(
+        spec.schema, latent_dim=16, num_blocks=1, num_heads=2,
+        attention_impl="xla",
+    )
+    sample = split_device_batch(
+        next(iter(spec.make_dataset("test", batch_size=2)))
+    )
+    params = init_params(model, sample, seed=0)
+    params = ckpt_lib.load_checkpoint(
+        str(tmp / "job_0" / "checkpoints" / "final"), params
+    )
+    for task_mode, group in (
+        ("pos", ("pos", spec.schema.attribute_groups["pos"])),
+        ("random", None),
+    ):
+        single = evaluate_task(
+            model, params, spec.make_dataset("test", batch_size=8),
+            task_mode, group,
+        )
+        multi = r0["eval_scores"][task_mode]
+        assert set(single) == set(multi)
+        for k in single:
+            np.testing.assert_allclose(
+                single[k], multi[k], rtol=2e-5, err_msg=f"{task_mode}/{k}"
+            )
