@@ -254,3 +254,60 @@ def test_concurrent_decode_matches_serial(tmp_path):
     for s, r in zip(serial, results):
         for k in s:
             np.testing.assert_array_equal(s[k], r[k], err_msg=k)
+
+
+def test_native_decoders_survive_corrupt_payloads():
+    """The C++ codec carries the whole data path; truncated/bit-flipped/
+    spliced payloads must raise (or decode degenerately) — never crash."""
+    rng = np.random.default_rng(0)
+    seq_dec = tfrecord.make_seq_feature_decoder(
+        [("emb", "float", 8, 16), ("type", "int64", 8, 1)]
+    )
+    lay_dec = tfrecord.make_string_context_decoder(
+        ["name"],
+        [("length", "int64", 1), ("id", "bytes", 1), ("w", "float", 2)],
+        8,
+    )
+    if seq_dec is None or lay_dec is None:
+        pytest.skip("native library not built")
+
+    def rand_record(r):
+        n = int(r.integers(0, 8))
+        txt = lambda k: bytes(
+            r.integers(32, 127, size=int(k), dtype=np.uint8)
+        )
+        return example_proto.encode_sequence_example(
+            {"length": [n], "id": [txt(r.integers(0, 20))],
+             "w": [float(x) for x in r.normal(size=2)]},
+            {"emb": [[float(x) for x in r.normal(size=16)]
+                     for _ in range(n)],
+             "type": [[int(r.integers(0, 10))] for _ in range(n)],
+             "name": [[txt(r.integers(0, 9))] for _ in range(n)]},
+        )
+
+    for _trial in range(60):
+        buf = rand_record(rng)
+        seq_dec(buf)
+        lay_dec(buf)
+        for _ in range(6):
+            b = bytearray(buf)
+            mode = rng.integers(0, 3)
+            if mode == 0 and len(b) > 1:  # truncate
+                b = b[: int(rng.integers(1, len(b)))]
+            elif mode == 1:  # flip bytes
+                for _ in range(int(rng.integers(1, 6))):
+                    b[int(rng.integers(0, len(b)))] = int(
+                        rng.integers(0, 256)
+                    )
+            else:  # splice garbage
+                pos = int(rng.integers(0, len(b)))
+                b = (
+                    b[:pos]
+                    + bytes(rng.integers(0, 256, size=10, dtype=np.uint8))
+                    + b[pos:]
+                )
+            for dec in (seq_dec, lay_dec):
+                try:
+                    dec(bytes(b))
+                except (ValueError, IOError):
+                    pass
