@@ -311,3 +311,64 @@ def test_native_decoders_survive_corrupt_payloads():
                     dec(bytes(b))
                 except (ValueError, IOError):
                     pass
+
+
+def test_decode_parity_randomized_records(tmp_path):
+    """Property: ANY well-formed record — edge lengths 0/1/S, negative and
+    large ints, every vocab token class — decodes bit-identically through
+    the native and pure-Python paths (dtype included)."""
+    from flexdm_tpu.data import DatasetSpec, synthetic
+
+    d = str(tmp_path / "crello")
+    synthetic.generate("crello", d, 4, 1, 1, seed=9)
+    spec_n = DatasetSpec("crello", d, batch_size=2)
+    if spec_n._native_layout is None:
+        pytest.skip("native library not built")
+    spec_p = DatasetSpec("crello", d, batch_size=2)
+    spec_p._native_metas_cache = ()
+    spec_p._native_layout_cache = None
+    rng = np.random.default_rng(0)
+    S = spec_n.max_length
+
+    def tok(name, r):
+        ts = [t for t in spec_n.vocabs[name].tokens if t != ""]
+        v = ts[int(r.integers(0, len(ts)))]
+        return v.encode() if isinstance(v, str) else int(v)
+
+    def rand_payload(r):
+        n = int(r.choice([0, 1, S, int(r.integers(0, S + 1))]))
+        ctx = {
+            "length": [tok("length", r)],
+            "group": [tok("group", r)],
+            "format": [tok("format", r)],
+            "canvas_width": [tok("canvas_width", r)],
+            "canvas_height": [tok("canvas_height", r)],
+            "category": [tok("category", r)],
+            "id": [b"id-x"],
+        }
+        seq = {
+            "type": [[tok("type", r)] for _ in range(n)],
+            "left": [[float(x)] for x in r.normal(size=n)],
+            "top": [[float(x)] for x in r.normal(size=n)],
+            "width": [[float(x)] for x in r.normal(size=n)],
+            "height": [[float(x)] for x in r.normal(size=n)],
+            "opacity": [[float(x)] for x in r.uniform(size=n)],
+            "color": [[int(v) for v in r.integers(-2, 300, size=3)]
+                      for _ in range(n)],
+            "image_embedding": [[float(x) for x in r.normal(size=512)]
+                                for _ in range(n)],
+            "text_embedding": [[float(x) for x in r.normal(size=512)]
+                               for _ in range(n)],
+            "font_family": [[tok("font_family", r)] for _ in range(n)],
+            "uuid": [[b"u%04d" % i] for i in range(n)],
+        }
+        return example_proto.encode_sequence_example(ctx, seq)
+
+    for t in range(30):
+        buf = rand_payload(rng)
+        a = spec_n.decode_record(buf)
+        b = spec_p.decode_record(buf)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{t}:{k}")
+            assert a[k].dtype == b[k].dtype, (t, k)
