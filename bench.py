@@ -389,8 +389,10 @@ def main() -> None:
             "unit": "steps/sec",
             "vs_baseline": 0.0,
             "extra": {"error": f"backend unresponsive: {perr}"},
-        }))
+        }), flush=True)
         # A stuck compile thread cannot be cancelled; exit without waiting.
+        # os._exit skips interpreter-exit flushing, so the flush above is
+        # load-bearing when stdout is a block-buffered pipe.
         os._exit(0)
 
     if args.quick:

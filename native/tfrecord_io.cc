@@ -142,6 +142,95 @@ bool find_len_field(Cursor c, uint32_t field, Cursor* out, Cursor* rest) {
   return false;
 }
 
+// Accumulate the values of a FloatList body into dst[0..cap).
+// FloatList.value = field 1 — packed chunks (possibly several, valid
+// proto) and/or unpacked wire-5 entries.  Returns the value count, or -1
+// on malformed wire data / overflow.  Shared by the sequence-row and
+// context decoders so the subtle varint/bounds logic exists once.
+long long parse_float_values(Cursor ic, float* dst, long long cap) {
+  long long k = 0;
+  while (ic.p < ic.end) {
+    uint64_t key;
+    if (!read_varint(&ic, &key)) return -1;
+    uint32_t f = key >> 3, wire = key & 7;
+    if (f == 1 && wire == 2) {  // packed chunk
+      uint64_t n;
+      if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n) return -1;
+      long long vals = (long long)(n / 4);
+      if (k + vals > cap) return -1;
+      std::memcpy(dst + k, ic.p, vals * 4);
+      k += vals;
+      ic.p += n;
+    } else if (f == 1 && wire == 5) {  // unpacked
+      if (ic.end - ic.p < 4 || k >= cap) return -1;
+      std::memcpy(dst + k, ic.p, 4);
+      ++k;
+      ic.p += 4;
+    } else if (!skip_field(&ic, wire)) {
+      return -1;
+    }
+  }
+  return k;
+}
+
+// Same for an Int64List body (packed varints, two's-complement int64).
+long long parse_int64_values(Cursor ic, int64_t* dst, long long cap) {
+  long long k = 0;
+  while (ic.p < ic.end) {
+    uint64_t key;
+    if (!read_varint(&ic, &key)) return -1;
+    uint32_t f = key >> 3, wire = key & 7;
+    uint64_t v;
+    if (f == 1 && wire == 2) {  // packed
+      uint64_t n;
+      if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n) return -1;
+      Cursor pc{ic.p, ic.p + n};
+      ic.p += n;
+      while (pc.p < pc.end) {
+        if (!read_varint(&pc, &v) || k >= cap) return -1;
+        dst[k++] = (int64_t)v;
+      }
+    } else if (f == 1 && wire == 0) {  // unpacked
+      if (!read_varint(&ic, &v) || k >= cap) return -1;
+      dst[k++] = (int64_t)v;
+    } else if (!skip_field(&ic, wire)) {
+      return -1;
+    }
+  }
+  return k;
+}
+
+// (offset, length) spans of each BytesList value, relative to `base`
+// (zero-copy: callers slice the payload).  Returns count or -1 on
+// overflow.
+long long parse_bytes_spans(Cursor bl, const uint8_t* base, long long* offs,
+                            long long* lens, long long cap) {
+  long long k = 0;
+  Cursor bc = bl, val, brest;
+  while (find_len_field(bc, 1, &val, &brest)) {
+    bc = brest;
+    if (k >= cap) return -1;
+    offs[k] = (long long)(val.p - base);
+    lens[k] = (long long)(val.end - val.p);
+    ++k;
+  }
+  return k;
+}
+
+// True when the Feature carries any typed value list (BytesList/FloatList/
+// Int64List = fields 1-3).  A Feature with NONE set — `tf.train.Feature()`,
+// a common encoding for a missing optional value — must decode as zero
+// values to match the Python parser (which returns [] and lets the
+// consumer zero-fill); a Feature carrying a DIFFERENT typed list than the
+// schema expects stays an error (corrupt data must not zero-fill silently).
+bool has_typed_list(Cursor feature) {
+  Cursor probe;
+  for (uint32_t f = 1; f <= 3; ++f) {
+    if (find_len_field(feature, f, &probe, nullptr)) return true;
+  }
+  return false;
+}
+
 // Decode the Feature rows of a FeatureList into a fixed-width float buffer.
 // Every row must carry exactly row_size values (TF's
 // FixedLenSequenceFeature raises on ragged rows; silent zero-fill or
@@ -155,45 +244,21 @@ long long decode_float_rows(Cursor flist, float* out, long long max_rows,
     Cursor feature, frest;
     if (!find_len_field(fc, 1, &feature, &frest)) break;
     fc = frest;
-    // Feature.float_list = field 2; FloatList.value = field 1 — packed
-    // (possibly split across several chunks, valid proto) or unpacked
-    // wire-5 entries; accumulate like the int64/context parsers do.
+    // Feature.float_list = field 2.
     Cursor float_list;
     if (!find_len_field(feature, 2, &float_list, nullptr)) {
       return -(row + 1);  // wrong-typed or empty row
     }
-    float* dst = out + row * row_size;
-    long long k = 0;
-    Cursor ic = float_list;
-    while (ic.p < ic.end) {
-      uint64_t key;
-      if (!read_varint(&ic, &key)) break;
-      uint32_t f = key >> 3, wire = key & 7;
-      if (f == 1 && wire == 2) {  // packed chunk
-        uint64_t n;
-        if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
-          return -(row + 1);
-        long long vals = (long long)(n / 4);
-        if (k + vals > row_size) return -(row + 1);
-        std::memcpy(dst + k, ic.p, vals * 4);
-        k += vals;
-        ic.p += n;
-      } else if (f == 1 && wire == 5) {  // unpacked
-        if (ic.end - ic.p < 4 || k >= row_size) return -(row + 1);
-        std::memcpy(dst + k, ic.p, 4);
-        ++k;
-        ic.p += 4;
-      } else if (!skip_field(&ic, wire)) {
-        break;
-      }
+    if (parse_float_values(float_list, out + row * row_size, row_size) !=
+        row_size) {
+      return -(row + 1);  // ragged or malformed row
     }
-    if (k != row_size) return -(row + 1);
     ++row;
   }
   return row;
 }
 
-// Same for Int64List rows (packed varints, two's-complement int64).
+// Same for Int64List rows.
 long long decode_int64_rows(Cursor flist, int64_t* out, long long max_rows,
                             long long row_size) {
   long long row = 0;
@@ -202,38 +267,15 @@ long long decode_int64_rows(Cursor flist, int64_t* out, long long max_rows,
     Cursor feature, frest;
     if (!find_len_field(fc, 1, &feature, &frest)) break;
     fc = frest;
-    // Feature.int64_list = field 3; Int64List.value = field 1.
+    // Feature.int64_list = field 3.
     Cursor int_list;
     if (!find_len_field(feature, 3, &int_list, nullptr)) {
       return -(row + 1);  // wrong-typed or empty row
     }
-    int64_t* dst = out + row * row_size;
-    long long k = 0;
-    Cursor ic = int_list;
-    while (ic.p < ic.end) {
-      uint64_t key;
-      if (!read_varint(&ic, &key)) break;
-      uint32_t f = key >> 3, wire = key & 7;
-      if (f == 1 && wire == 2) {  // packed
-        uint64_t n;
-        if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n) break;
-        Cursor pc{ic.p, ic.p + n};
-        ic.p += n;
-        uint64_t v;
-        while (pc.p < pc.end && read_varint(&pc, &v)) {
-          if (k < row_size) dst[k] = (int64_t)v;
-          ++k;
-        }
-      } else if (f == 1 && wire == 0) {  // unpacked
-        uint64_t v;
-        if (!read_varint(&ic, &v)) break;
-        if (k < row_size) dst[k] = (int64_t)v;
-        ++k;
-      } else if (!skip_field(&ic, wire)) {
-        break;
-      }
+    if (parse_int64_values(int_list, out + row * row_size, row_size) !=
+        row_size) {
+      return -(row + 1);  // ragged or malformed row
     }
-    if (k != row_size) return -(row + 1);  // ragged row
     ++row;
   }
   return row;
@@ -420,79 +462,28 @@ long long flexdm_decode_strings_and_context(
         Cursor feature;
         if (!find_len_field(entry, 2, &feature, nullptr))
           return -(num_seq + j + 1);
-        long long k = 0;
-        if (ctx_kinds[j] == 1) {  // float: Feature.float_list = field 2
-          Cursor fl;
-          if (!find_len_field(feature, 2, &fl, nullptr))
-            return -(num_seq + j + 1);
-          Cursor ic = fl;
-          while (ic.p < ic.end) {
-            uint64_t fkey;
-            if (!read_varint(&ic, &fkey)) break;
-            uint32_t f = fkey >> 3, wire = fkey & 7;
-            if (f == 1 && wire == 2) {  // packed
-              uint64_t n;
-              if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
-                return -(num_seq + j + 1);
-              long long vals = (long long)(n / 4);
-              if (k + vals > ctx_cap) return -(num_seq + j + 1);
-              std::memcpy(ctx_floats + j * ctx_cap + k, ic.p, vals * 4);
-              k += vals;
-              ic.p += n;
-            } else if (f == 1 && wire == 5) {  // unpacked
-              if (ic.end - ic.p < 4 || k >= ctx_cap)
-                return -(num_seq + j + 1);
-              std::memcpy(ctx_floats + j * ctx_cap + k, ic.p, 4);
-              ++k;
-              ic.p += 4;
-            } else if (!skip_field(&ic, wire)) {
-              return -(num_seq + j + 1);
-            }
-          }
-        } else if (ctx_kinds[j] == 2) {  // int64: Feature.int64_list = 3
-          Cursor il;
-          if (!find_len_field(feature, 3, &il, nullptr))
-            return -(num_seq + j + 1);
-          Cursor ic = il;
-          while (ic.p < ic.end) {
-            uint64_t ikey;
-            if (!read_varint(&ic, &ikey)) break;
-            uint32_t f = ikey >> 3, wire = ikey & 7;
-            uint64_t v;
-            if (f == 1 && wire == 2) {  // packed
-              uint64_t n;
-              if (!read_varint(&ic, &n) || ic.end - ic.p < (int64_t)n)
-                return -(num_seq + j + 1);
-              Cursor pc{ic.p, ic.p + n};
-              ic.p += n;
-              while (pc.p < pc.end && read_varint(&pc, &v)) {
-                if (k >= ctx_cap) return -(num_seq + j + 1);
-                ctx_ints[j * ctx_cap + k] = (int64_t)v;
-                ++k;
-              }
-            } else if (f == 1 && wire == 0) {
-              if (!read_varint(&ic, &v) || k >= ctx_cap)
-                return -(num_seq + j + 1);
-              ctx_ints[j * ctx_cap + k] = (int64_t)v;
-              ++k;
-            } else if (!skip_field(&ic, wire)) {
-              return -(num_seq + j + 1);
-            }
-          }
-        } else {  // bytes: Feature.bytes_list = field 1
-          Cursor bl;
-          if (!find_len_field(feature, 1, &bl, nullptr))
-            return -(num_seq + j + 1);
-          Cursor bc = bl;
-          Cursor val, brest;
-          while (find_len_field(bc, 1, &val, &brest)) {
-            bc = brest;
-            if (k >= ctx_cap) return -(num_seq + j + 1);
-            ctx_offs[j * ctx_cap + k] = (long long)(val.p - base);
-            ctx_lens[j * ctx_cap + k] = (long long)(val.end - val.p);
-            ++k;
-          }
+        // Field numbers: Feature.bytes_list=1, float_list=2, int64_list=3.
+        uint32_t want = ctx_kinds[j] == 1 ? 2u : ctx_kinds[j] == 2 ? 3u : 1u;
+        Cursor list;
+        long long k;
+        if (!find_len_field(feature, want, &list, nullptr)) {
+          if (has_typed_list(feature)) return -(num_seq + j + 1);
+          // `value {}` (no typed list): missing optional value — the
+          // Python parser yields [] here, so decode as zero values.
+          ctx_counts[j] = 0;
+          break;
         }
+        if (ctx_kinds[j] == 1) {
+          k = parse_float_values(list, ctx_floats + j * ctx_cap, ctx_cap);
+        } else if (ctx_kinds[j] == 2) {
+          k = parse_int64_values(
+              list, reinterpret_cast<int64_t*>(ctx_ints) + j * ctx_cap,
+              ctx_cap);
+        } else {
+          k = parse_bytes_spans(list, base, ctx_offs + j * ctx_cap,
+                                ctx_lens + j * ctx_cap, ctx_cap);
+        }
+        if (k < 0) return -(num_seq + j + 1);
         ctx_counts[j] = k;
         break;
       }

@@ -256,6 +256,40 @@ def test_concurrent_decode_matches_serial(tmp_path):
             np.testing.assert_array_equal(s[k], r[k], err_msg=k)
 
 
+def test_empty_context_feature_decodes_as_zero_values():
+    """A context `Feature` with NO typed list (`value {}` — TF's encoding
+    for a missing optional value) must decode as zero values, matching the
+    Python parser; a wrong-typed list must stay an error."""
+    dec = tfrecord.make_string_context_decoder(
+        [], [("opt", "int64", 4)], 4
+    )
+    if dec is None:
+        pytest.skip("native library not built")
+
+    # Hand-build: context map entry "opt" -> empty Feature body.
+    entry = example_proto._len_field(
+        1, b"opt"
+    ) + example_proto._len_field(2, b"")
+    buf = example_proto._len_field(
+        1, example_proto._len_field(1, entry)
+    )
+    out = dec(buf)
+    assert list(out["opt"]) == []
+    # Python parser agreement
+    ctx, _ = example_proto.decode_sequence_example(buf)
+    assert ctx.get("opt", []) == []
+
+    # Wrong-typed (float list where int64 expected) must raise.
+    bad_entry = example_proto._len_field(
+        1, b"opt"
+    ) + example_proto._len_field(2, example_proto.encode_feature([1.5]))
+    bad = example_proto._len_field(
+        1, example_proto._len_field(1, bad_entry)
+    )
+    with pytest.raises(ValueError):
+        dec(bad)
+
+
 def test_native_decoders_survive_corrupt_payloads():
     """The C++ codec carries the whole data path; truncated/bit-flipped/
     spliced payloads must raise (or decode degenerately) — never crash."""
