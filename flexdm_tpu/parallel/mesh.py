@@ -19,11 +19,18 @@ optimizer memory scales down with the axis too.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+# (leading_dim, data_axis) pairs already warned about, to log the
+# replicated-placement fallback once instead of once per batch.
+_uneven_batch_warned: set = set()
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -61,6 +68,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place_single_process(x, mesh: Mesh):
+    """``device_put`` with the leading axis on ``data`` when it divides the
+    axis, replicated otherwise (warned once per (dim, axis) pair).
+
+    Train/eval math is placement-invariant — losses are global sums and the
+    eval num/den accounting zero-weights padded rows — so an indivisible
+    batch (e.g. ``--batch_size 6`` on an 8-chip host) should lose data
+    parallelism for that array, not crash with a pjit divisibility error.
+    """
+    axis = mesh.shape[DATA_AXIS]
+    if x.shape[0] % axis == 0:
+        return jax.device_put(x, batch_sharding(mesh))
+    key = (x.shape[0], axis)
+    if key not in _uneven_batch_warned:
+        _uneven_batch_warned.add(key)
+        logger.warning(
+            "batch dim %d does not divide the data axis (%d); placing "
+            "replicated (no data parallelism for this array)",
+            x.shape[0],
+            axis,
+        )
+    return jax.device_put(x, replicated(mesh))
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
     """Place a host batch with the leading axis sharded over ``data``.
 
@@ -72,15 +103,13 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
     the full global value.  The global batch size must divide the
     data-axis size.
     """
-    sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
+        sharding = batch_sharding(mesh)
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sharding, x),
             batch,
         )
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    return jax.tree.map(lambda x: _place_single_process(x, mesh), batch)
 
 
 def shard_global_batch(tree, mesh: Mesh):
@@ -92,8 +121,7 @@ def shard_global_batch(tree, mesh: Mesh):
     Accepts a dict or a bare array.
     """
     if jax.process_count() <= 1:
-        sharding = batch_sharding(mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+        return jax.tree.map(lambda x: _place_single_process(x, mesh), tree)
     n, pid = jax.process_count(), jax.process_index()
     sharding = batch_sharding(mesh)
 

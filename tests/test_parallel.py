@@ -88,6 +88,25 @@ def test_batch_is_actually_sharded(setup):
     assert shard.data.shape[0] == x.shape[0] // 8
 
 
+def test_indivisible_batch_places_replicated(setup):
+    # --batch_size 6 on an 8-chip host must lose data parallelism for the
+    # batch, not crash with a pjit divisibility error (eval/train math is
+    # placement-invariant).  Regression: trainer.evaluate_split crashed in
+    # shard_global_batch with B=6 on the 8-device virtual mesh.
+    spec, model, tc, tx, state, batch = setup
+    mesh = mesh_lib.make_mesh(8)
+    small = jax.tree.map(lambda x: np.asarray(x)[:6], batch)
+    for place in (mesh_lib.shard_batch, mesh_lib.shard_global_batch):
+        placed = place(small, mesh)
+        x = placed["left"]
+        assert x.shape[0] == 6
+        # replicated: every device holds the full array
+        assert x.addressable_shards[0].data.shape == x.shape
+    # divisible arrays in the same tree still shard normally
+    mixed = mesh_lib.shard_batch(batch, mesh)
+    assert mixed["left"].addressable_shards[0].data.shape[0] == 2
+
+
 def test_params_replicated(setup):
     spec, model, tc, tx, state, batch = setup
     mesh = mesh_lib.make_mesh(8)
