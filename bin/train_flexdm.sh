@@ -3,7 +3,14 @@
 #   bin/train_flexdm.sh [dataset] [extra --flags...]
 set -e
 
-DATASET=${1:-"crello"}
+# Flags-only invocation: keep the default dataset and forward everything.
+if [[ "${1:-}" == -* ]]; then
+    DATASET="crello"
+    EXTRA=("$@")
+else
+    DATASET=${1:-"crello"}
+    EXTRA=("${@:2}")
+fi
 NOW=$(date '+%Y%m%d%H%M%S')
 
 DATA_DIR=${DATA_DIR:-"data/${DATASET}"}
@@ -16,4 +23,4 @@ python -m flexdm_tpu \
     --dataset_name "${DATASET}" \
     --data_dir "${DATA_DIR}" \
     --job-dir "${JOB_DIR}" \
-    "${@:2}"
+    "${EXTRA[@]}"

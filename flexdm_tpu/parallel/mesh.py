@@ -68,28 +68,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _place_single_process(x, mesh: Mesh):
-    """``device_put`` with the leading axis on ``data`` when it divides the
-    axis, replicated otherwise (warned once per (dim, axis) pair).
+def _single_process_placer(mesh: Mesh):
+    """Per-leaf ``device_put`` with the leading axis on ``data`` when it
+    divides the axis, replicated otherwise (warned once per (dim, axis)
+    pair).  Shardings are built once per batch, not per leaf.
 
     Train/eval math is placement-invariant — losses are global sums and the
     eval num/den accounting zero-weights padded rows — so an indivisible
     batch (e.g. ``--batch_size 6`` on an 8-chip host) should lose data
     parallelism for that array, not crash with a pjit divisibility error.
     """
+    data_sharding = batch_sharding(mesh)
+    repl_sharding = replicated(mesh)
     axis = mesh.shape[DATA_AXIS]
-    if x.shape[0] % axis == 0:
-        return jax.device_put(x, batch_sharding(mesh))
-    key = (x.shape[0], axis)
-    if key not in _uneven_batch_warned:
-        _uneven_batch_warned.add(key)
-        logger.warning(
-            "batch dim %d does not divide the data axis (%d); placing "
-            "replicated (no data parallelism for this array)",
-            x.shape[0],
-            axis,
-        )
-    return jax.device_put(x, replicated(mesh))
+
+    def place(x):
+        if x.shape[0] % axis == 0:
+            return jax.device_put(x, data_sharding)
+        key = (x.shape[0], axis)
+        if key not in _uneven_batch_warned:
+            _uneven_batch_warned.add(key)
+            logger.warning(
+                "batch dim %d does not divide the data axis (%d); placing "
+                "replicated (no data parallelism for this array)",
+                x.shape[0],
+                axis,
+            )
+        return jax.device_put(x, repl_sharding)
+
+    return place
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
@@ -109,7 +116,7 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
             lambda x: jax.make_array_from_process_local_data(sharding, x),
             batch,
         )
-    return jax.tree.map(lambda x: _place_single_process(x, mesh), batch)
+    return jax.tree.map(_single_process_placer(mesh), batch)
 
 
 def shard_global_batch(tree, mesh: Mesh):
@@ -121,7 +128,7 @@ def shard_global_batch(tree, mesh: Mesh):
     Accepts a dict or a bare array.
     """
     if jax.process_count() <= 1:
-        return jax.tree.map(lambda x: _place_single_process(x, mesh), tree)
+        return jax.tree.map(_single_process_placer(mesh), tree)
     n, pid = jax.process_count(), jax.process_index()
     sharding = batch_sharding(mesh)
 
@@ -205,8 +212,6 @@ def shard_params(tree, mesh: Mesh):
     ``device_put`` of a committed array onto a multi-host sharding would
     demand cross-host device transfers, which e.g. the CPU backend refuses.
     """
-    import numpy as np
-
     model_size = mesh.shape.get(MODEL_AXIS, 1)
     multiprocess = jax.process_count() > 1
 

@@ -217,16 +217,35 @@ long long parse_bytes_spans(Cursor bl, const uint8_t* base, long long* offs,
   return k;
 }
 
-// True when the Feature carries any typed value list (BytesList/FloatList/
-// Int64List = fields 1-3).  A Feature with NONE set — `tf.train.Feature()`,
-// a common encoding for a missing optional value — must decode as zero
-// values to match the Python parser (which returns [] and lets the
-// consumer zero-fill); a Feature carrying a DIFFERENT typed list than the
-// schema expects stays an error (corrupt data must not zero-fill silently).
-bool has_typed_list(Cursor feature) {
+// True when the Feature carries a NON-EMPTY typed value list other than
+// `want` (BytesList/FloatList/Int64List = fields 1-3).  Empty encodings —
+// `tf.train.Feature()` with no list, `value {}`, or an empty list of ANY
+// kind (the repo's own encode_feature([]) writes an empty Int64List
+// regardless of the column type, example_proto.py:287) — all mean
+// "missing optional value" and must decode as zero values to match the
+// type-agnostic Python parser; only a non-empty wrong-kind list stays an
+// error (corrupt data must not zero-fill silently).
+bool has_wrong_nonempty_list(Cursor feature, uint32_t want) {
   Cursor probe;
   for (uint32_t f = 1; f <= 3; ++f) {
-    if (find_len_field(feature, f, &probe, nullptr)) return true;
+    if (f == want) continue;
+    if (!find_len_field(feature, f, &probe, nullptr)) continue;
+    // Count VALUES, not body bytes: encode_feature([]) emits an Int64List
+    // whose body is a present-but-empty packed chunk (`value` field set,
+    // zero values).  cap=0 parses return 0 for no values, nonzero (-1)
+    // when any value — or malformed wire data — is present.
+    long long n;
+    if (f == 1) {
+      long long off, len;
+      n = parse_bytes_spans(probe, probe.p, &off, &len, 0);
+    } else if (f == 2) {
+      float fbuf[1];
+      n = parse_float_values(probe, fbuf, 0);
+    } else {
+      int64_t ibuf[1];
+      n = parse_int64_values(probe, ibuf, 0);
+    }
+    if (n != 0) return true;
   }
   return false;
 }
@@ -459,18 +478,21 @@ long long flexdm_decode_strings_and_context(
         if (klen != ctx_name_lens[j] ||
             std::memcmp(key.p, ctx_names[j], klen) != 0)
           continue;
+        // An omitted map-entry value field (the canonical wire form of an
+        // empty Feature) = missing optional value -> zero values, like the
+        // Python parser (_parse_map_entry defaults the value to b"").
         Cursor feature;
-        if (!find_len_field(entry, 2, &feature, nullptr))
-          return -(num_seq + j + 1);
+        if (!find_len_field(entry, 2, &feature, nullptr)) break;
         // Field numbers: Feature.bytes_list=1, float_list=2, int64_list=3.
         uint32_t want = ctx_kinds[j] == 1 ? 2u : ctx_kinds[j] == 2 ? 3u : 1u;
         Cursor list;
         long long k;
         if (!find_len_field(feature, want, &list, nullptr)) {
-          if (has_typed_list(feature)) return -(num_seq + j + 1);
-          // `value {}` (no typed list): missing optional value — the
-          // Python parser yields [] here, so decode as zero values.
-          ctx_counts[j] = 0;
+          if (has_wrong_nonempty_list(feature, want))
+            return -(num_seq + j + 1);
+          // Empty Feature (no list, or an empty wrong-kind list): missing
+          // optional value — the Python parser yields [] here, so decode
+          // as zero values.
           break;
         }
         if (ctx_kinds[j] == 1) {
@@ -505,8 +527,10 @@ long long flexdm_decode_strings_and_context(
         if (klen != seq_name_lens[i] ||
             std::memcmp(key.p, seq_names[i], klen) != 0)
           continue;
+        // Omitted value field = empty FeatureList -> 0 rows, matching
+        // both the Python parser and flexdm_decode_seq_features.
         Cursor flist;
-        if (!find_len_field(entry, 2, &flist, nullptr)) return -(i + 1);
+        if (!find_len_field(entry, 2, &flist, nullptr)) break;
         long long row = 0;
         Cursor fc = flist;
         while (fc.p < fc.end && row < max_rows) {

@@ -256,38 +256,68 @@ def test_concurrent_decode_matches_serial(tmp_path):
             np.testing.assert_array_equal(s[k], r[k], err_msg=k)
 
 
-def test_empty_context_feature_decodes_as_zero_values():
-    """A context `Feature` with NO typed list (`value {}` — TF's encoding
-    for a missing optional value) must decode as zero values, matching the
-    Python parser; a wrong-typed list must stay an error."""
-    dec = tfrecord.make_string_context_decoder(
-        [], [("opt", "int64", 4)], 4
+def _ctx_record(feature_body: bytes, key: bytes = b"opt") -> bytes:
+    """SequenceExample with one context map entry key -> Feature body."""
+    entry = example_proto._len_field(1, key) + example_proto._len_field(
+        2, feature_body
     )
+    return example_proto._len_field(1, example_proto._len_field(1, entry))
+
+
+def test_empty_context_feature_decodes_as_zero_values():
+    """Every wire encoding of "missing optional value" — `value {}`, an
+    omitted map-entry value field, and an EMPTY list of any kind (the
+    repo's encode_feature([]) writes an empty Int64List regardless of
+    column type) — must decode as zero values, matching the type-agnostic
+    Python parser; a NON-empty wrong-typed list must stay an error."""
+    for kind in ("int64", "bytes", "float"):
+        dec = tfrecord.make_string_context_decoder(
+            [], [("opt", kind, 4)], 4
+        )
+        if dec is None:
+            pytest.skip("native library not built")
+
+        empty_forms = [
+            _ctx_record(b""),  # value {} — empty Feature body
+            # map entry with the value field omitted entirely
+            example_proto._len_field(
+                1,
+                example_proto._len_field(
+                    1, example_proto._len_field(1, b"opt")
+                ),
+            ),
+            # encode_feature([]): empty Int64List whatever the column type
+            _ctx_record(example_proto.encode_feature([])),
+            # empty list of each kind
+            _ctx_record(example_proto._len_field(1, b"")),  # BytesList
+            _ctx_record(example_proto._len_field(2, b"")),  # FloatList
+            _ctx_record(example_proto._len_field(3, b"")),  # Int64List
+        ]
+        for buf in empty_forms:
+            out = dec(buf)
+            assert list(out["opt"]) == [], (kind, buf)
+            # Python parser agreement
+            ctx, _ = example_proto.decode_sequence_example(buf)
+            assert list(ctx.get("opt", [])) == []
+
+        # Non-empty wrong-typed list must raise.
+        wrong = [1.5] if kind != "float" else [7]
+        with pytest.raises(ValueError):
+            dec(_ctx_record(example_proto.encode_feature(wrong)))
+
+
+def test_empty_sequence_feature_list_decodes_as_zero_rows():
+    """A FeatureList map entry whose value field is omitted = 0 rows,
+    matching the Python parser and the numeric decoder."""
+    dec = tfrecord.make_string_context_decoder(["name"], [], 4)
     if dec is None:
         pytest.skip("native library not built")
-
-    # Hand-build: context map entry "opt" -> empty Feature body.
-    entry = example_proto._len_field(
-        1, b"opt"
-    ) + example_proto._len_field(2, b"")
+    # feature_lists (field 2) -> entry (field 1) -> key only, no value.
     buf = example_proto._len_field(
-        1, example_proto._len_field(1, entry)
+        2,
+        example_proto._len_field(1, example_proto._len_field(1, b"name")),
     )
-    out = dec(buf)
-    assert list(out["opt"]) == []
-    # Python parser agreement
-    ctx, _ = example_proto.decode_sequence_example(buf)
-    assert ctx.get("opt", []) == []
-
-    # Wrong-typed (float list where int64 expected) must raise.
-    bad_entry = example_proto._len_field(
-        1, b"opt"
-    ) + example_proto._len_field(2, example_proto.encode_feature([1.5]))
-    bad = example_proto._len_field(
-        1, example_proto._len_field(1, bad_entry)
-    )
-    with pytest.raises(ValueError):
-        dec(bad)
+    assert dec(buf)["name"] == []
 
 
 def test_native_decoders_survive_corrupt_payloads():
