@@ -355,6 +355,38 @@ def measure_attention_s512():
     return out
 
 
+def _last_verified_result():
+    """The newest prior-round bench result (``BENCH_r*.json`` driver logs
+    in the repo root), for context when the backend is unreachable.
+
+    Returns ``{"source": ..., "metric": ..., "value": ..., "extra": ...}``
+    or None.  Never raises: a malformed log just yields None.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        logs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        for path in reversed(logs):
+            tail = json.load(open(path)).get("tail", "")
+            hits = re.findall(r'\{"metric".*\}', tail)
+            for line in reversed(hits):
+                rec = json.loads(line)
+                if rec.get("value"):
+                    return {
+                        "source": os.path.basename(path),
+                        "metric": rec.get("metric"),
+                        "value": rec.get("value"),
+                        "unit": rec.get("unit"),
+                        "vs_baseline": rec.get("vs_baseline"),
+                        "extra": rec.get("extra"),
+                    }
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -383,12 +415,19 @@ def main() -> None:
     probe_timeout = float(os.environ.get("FLEXDM_BENCH_PROBE_TIMEOUT", 300))
     ok, perr = _backend_probe(probe_timeout)
     if not ok:
+        extra = {"error": f"backend unresponsive: {perr}"}
+        last = _last_verified_result()
+        if last is not None:
+            # Context for the record: the most recent fetch-verified
+            # hardware numbers, clearly labeled as prior measurements —
+            # a dead relay says nothing about the framework's speed.
+            extra["last_verified"] = last
         print(json.dumps({
             "metric": "train_steps_per_sec_per_chip",
             "value": 0.0,
             "unit": "steps/sec",
             "vs_baseline": 0.0,
-            "extra": {"error": f"backend unresponsive: {perr}"},
+            "extra": extra,
         }), flush=True)
         # A stuck compile thread cannot be cancelled; exit without waiting.
         # os._exit skips interpreter-exit flushing, so the flush above is
