@@ -410,6 +410,14 @@ def test_decode_parity_randomized_records(tmp_path):
             "category": [tok("category", r)],
             "id": [b"id-x"],
         }
+        # Optional demo-only value: sometimes empty (encode_feature([])
+        # writes an empty Int64List whatever the column type — review
+        # regression), sometimes absent entirely.
+        form = r.integers(0, 3)
+        if form == 1:
+            ctx["id"] = []
+        elif form == 2:
+            del ctx["id"]
         seq = {
             "type": [[tok("type", r)] for _ in range(n)],
             "left": [[float(x)] for x in r.normal(size=n)],
