@@ -39,3 +39,35 @@ def test_preset_cli_applies_defaults_and_flags_win(rico_dir, tmp_path):
     assert args["dataset_name"] == "rico"  # from the preset
     assert args["masking_method"] == "elem_pos_attr"  # from the preset
     assert args["latent_dim"] == 16  # explicit flag beats the preset
+
+
+def test_train_wrapper_arg_routing(tmp_path):
+    """bin/train_flexdm.sh: a flags-only invocation keeps the default
+    dataset and forwards every flag; a dataset positional is consumed."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    # Stub `python` so the wrapper's exec line just echoes its argv.
+    stub = tmp_path / "python"
+    stub.write_text("#!/usr/bin/env bash\necho \"ARGS:$*\"\n")
+    stub.chmod(0o755)
+    env = dict(os.environ, PATH=f"{tmp_path}:{os.environ['PATH']}")
+
+    def run(*args):
+        r = subprocess.run(
+            ["bash", os.path.join(repo, "bin", "train_flexdm.sh"), *args],
+            capture_output=True, text=True, env=env, timeout=30,
+        )
+        assert r.returncode == 0, r.stderr
+        return next(
+            l for l in r.stdout.splitlines() if l.startswith("ARGS:")
+        )
+
+    flags_only = run("--num_epochs", "5")
+    assert "--dataset_name crello" in flags_only
+    assert "--num_epochs 5" in flags_only
+
+    positional = run("rico", "--num_epochs", "3")
+    assert "--dataset_name rico" in positional
+    assert "--num_epochs 3" in positional
+    assert " rico" not in positional.split("--dataset_name rico", 1)[1]
