@@ -21,6 +21,12 @@ batched matmuls + softmax under TF eager
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/bench_attention.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import math

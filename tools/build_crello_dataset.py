@@ -23,6 +23,12 @@ Usage:
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/build_crello_dataset.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 import hashlib
 import json

@@ -12,6 +12,12 @@ execute headlessly (tests/test_notebooks.py keeps them from rotting).
 Run: python tools/build_notebooks.py
 """
 
+
+# Repo-root bootstrap so `python tools/build_notebooks.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
 import os
 
 import nbformat

@@ -27,6 +27,12 @@ Usage:
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/convert_tf_checkpoint.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 import re
 from typing import Dict, Optional

@@ -24,6 +24,12 @@ Usage:
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/export_tf_checkpoint.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 from typing import Dict, Tuple
 

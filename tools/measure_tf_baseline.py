@@ -17,6 +17,12 @@ Run: python tools/measure_tf_baseline.py [--steps N] [--batch-size N]
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/measure_tf_baseline.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import os

@@ -16,6 +16,12 @@ Prints one JSON line with ms-per-iteration per segment.
 
 from __future__ import annotations
 
+# Repo-root bootstrap so `python tools/profile_step.py` works without pip install.
+if __package__ in (None, ""):
+    import _bootstrap  # noqa: F401
+else:
+    from . import _bootstrap  # noqa: F401
+
 import argparse
 import json
 import time

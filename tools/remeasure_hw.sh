@@ -9,6 +9,7 @@
 # and prints a summary.  Update PARITY.md "Performance" + CLAUDE.md notes
 # from these, then delete the UNMEASURED block.
 set -e
+set -o pipefail  # a crashing profile must not be masked by its tee
 OUT=${1:-/tmp/hw_remeasure}
 mkdir -p "$OUT"
 
