@@ -194,10 +194,13 @@ def measure_eval(batch_size=256, repeats=3, test_docs=2048):
         espec.make_dataset("test", batch_size=batch_size)
     )
 
+    # One loader for all runs, like evaluate_all: DataLoader iteration is
+    # stateless and rebuilding one re-reads every shard from disk.
+    eval_loader = espec.make_dataset("test", batch_size=batch_size)
+
     def run(task, group):
-        loader = espec.make_dataset("test", batch_size=batch_size)
         return evaluate_task(
-            model, params, loader, task, group, cache=dcache,
+            model, params, eval_loader, task, group, cache=dcache,
         )
 
     import math as _math

@@ -92,8 +92,10 @@ def train_main(argv=None) -> None:
                         choices=["device", "host"],
                         help="device: whole split resident in HBM, on-device "
                              "batch gather; host: prefetch-threaded streaming")
-    parser.add_argument("--checkpoint_every", default=0, type=int,
-                        help="refresh the resumable checkpoint every N epochs")
+    parser.add_argument("--checkpoint_every", default=None, type=int,
+                        help="refresh the resumable 'last' checkpoint every N "
+                             "epochs (default: every validation; 0 = only at "
+                             "end of run)")
     import sys
 
     argv = _apply_preset(

@@ -210,6 +210,11 @@ class DeviceDataCache:
         self.num_records = len(records)
         self.mesh = None
         self._gather_fn = None  # memoized (shard_map closures are costly)
+        # Device-resident eval index blocks, memoized per (kind, chunk[, S]).
+        # Re-uploading them per evaluate_task call costs ~35 ms of relay
+        # round trip EACH on this platform — against a ~110 ms task total
+        # that was the r3 eval regression (19.0k -> 12.6k docs/s).
+        self._device_blocks: dict = {}
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
@@ -317,6 +322,47 @@ class DeviceDataCache:
             idx.reshape(T, chunk),
             w.astype(np.float32).reshape(T, chunk),
         )
+
+    def device_eval_blocks(self, chunk: int):
+        """Device-resident ``(blk, w, gid)`` triple for the bundled eval
+        scan, uploaded ONCE per (cache, chunk) and reused across every
+        subsequent task run (``all_feat`` runs 4-5 tasks over one cache).
+
+        ``gid`` carries global record ids for per-record mask draws (the
+        ``random`` task): a sharded cache stores record ``g`` at
+        (device ``g % D``, local slot ``g // D``), so
+        ``gid = local*D + device`` recovers it.
+        """
+        import jax.numpy as jnp
+
+        key = ("eval", chunk)
+        if key not in self._device_blocks:
+            blk, w = self.eval_index_blocks(chunk)
+            D = self.data_axis_size
+            if self.mesh is not None:
+                dev = (np.arange(chunk) // (chunk // D)).astype(np.int32)
+                gid = blk * D + dev[None, :]
+            else:
+                gid = blk
+            self._device_blocks[key] = (
+                jnp.asarray(blk), jnp.asarray(w), jnp.asarray(gid)
+            )
+        return self._device_blocks[key]
+
+    def device_elem_blocks(self, chunk: int, seq_len: int):
+        """Device-resident ``(doc, elem, w, t)`` blocks for the ``elem``
+        protocol, uploaded once per (cache, chunk, seq_len)."""
+        import jax.numpy as jnp
+
+        key = ("elem", chunk, seq_len)
+        if key not in self._device_blocks:
+            doc, elem, w = self.elem_index_blocks(chunk, seq_len)
+            T = doc.shape[0]
+            self._device_blocks[key] = (
+                jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w),
+                jnp.arange(T, dtype=jnp.int32),
+            )
+        return self._device_blocks[key]
 
     def elem_index_blocks(self, chunk: int, seq_len: int):
         """Per-(record, element) replica blocks for ``elem`` evaluation.

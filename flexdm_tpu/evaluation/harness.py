@@ -265,6 +265,13 @@ def _metric_names(schema: Schema) -> Tuple[str, ...]:
     ))
 
 
+@functools.lru_cache(maxsize=16)
+def _device_key(seed: int):
+    """PRNGKey(seed), uploaded once per seed (each host->device transfer is
+    a ~35 ms relay round trip on this platform; eval reuses seed=0)."""
+    return jax.random.PRNGKey(seed)
+
+
 # Splits whose device-resident footprint exceeds this stream batch-by-batch.
 RESIDENT_BYTE_LIMIT = 4 << 30
 
@@ -483,26 +490,16 @@ def _evaluate_task_resident(
     assert group is not None or task_mode in ("random", "elem"), task_mode
 
     # Round the chunk up to a multiple of the cache's data-axis size so
-    # every scan step feeds each device an equal block.
+    # every scan step feeds each device an equal block.  Index blocks are
+    # device-resident and memoized on the cache: per-call re-uploads cost
+    # ~35 ms relay round trip EACH here, which was the r3 eval regression.
     D = cache.data_axis_size
     chunk = elem_chunk if task_mode == "elem" else loader.batch_size
     chunk = -(-chunk // D) * D
     if task_mode == "elem":
-        doc, elem, w = cache.elem_index_blocks(chunk, S)
-        xs = (jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w))
-        T = xs[0].shape[0]
-        xs = xs + (jnp.arange(T, dtype=jnp.int32),)
+        xs = cache.device_elem_blocks(chunk, S)
     else:
-        blk, w = cache.eval_index_blocks(chunk)
-        # Global record ids for per-record mask draws ('random' task): a
-        # sharded cache stores record g at (device g % D, local slot
-        # g // D), so gid = local*D + device recovers it.
-        if cache.mesh is not None:
-            dev = (np.arange(chunk) // (chunk // D)).astype(np.int32)
-            gid = blk * D + dev[None, :]
-        else:
-            gid = blk
-        xs = (jnp.asarray(blk), jnp.asarray(w), jnp.asarray(gid))
+        xs = cache.device_eval_blocks(chunk)
 
     scan_fn, names, name_order = _resident_scan(
         model, task_mode, None if group is None else tuple(group[1]),
@@ -511,7 +508,7 @@ def _evaluate_task_resident(
         cache.mesh if cache.mesh is not None else mesh,
         cache.mesh is not None,
     )
-    tot = scan_fn(params, cache.data, xs, jax.random.PRNGKey(seed))
+    tot = scan_fn(params, cache.data, xs, _device_key(seed))
     values = np.asarray(tot)  # the ONLY host fetch for the whole task
     if name_order and tuple(name_order) != names:
         raise AssertionError(
@@ -601,13 +598,17 @@ def evaluate_all(
     schema = spec.schema
     groups = schema.attribute_groups
 
+    # ONE loader for every task: DataLoader iteration is stateless
+    # (each __iter__ starts fresh) and its decode cache is then shared —
+    # re-constructing per task re-reads every shard from disk.
+    first = spec.make_dataset(split, batch_size=batch_size)
+
     def loader():
-        return spec.make_dataset(split, batch_size=batch_size)
+        return first
 
     # Upload the split once; every task's scan gathers from the same cache
     # (sharded over the mesh's data axis when one is given).
     cache = None
-    first = loader()
     if (
         first.num_records
         and _split_fits_resident(first)

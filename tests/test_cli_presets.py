@@ -71,3 +71,40 @@ def test_train_wrapper_arg_routing(tmp_path):
     assert "--dataset_name rico" in positional
     assert "--num_epochs 3" in positional
     assert " rico" not in positional.split("--dataset_name rico", 1)[1]
+
+
+def test_cli_default_writes_periodic_last_checkpoint(
+    rico_dir, tmp_path, monkeypatch
+):
+    """A plain CLI run must refresh the resumable 'last' checkpoint at every
+    validation boundary (crash safety, PARITY §2.5) — not only at the end of
+    the run.  Pins the cli default checkpoint_every=None -> trainer
+    ckpt_every=validation_freq (reference helpers/callbacks.py:49-56 saved
+    'checkpoint' every epoch)."""
+    from flexdm_tpu.cli import train_main
+    from flexdm_tpu.train import checkpoint as ckpt_lib
+
+    saved = []
+    real_save = ckpt_lib.save_checkpoint
+
+    def spy(path, state):
+        saved.append(os.path.basename(path))
+        return real_save(path, state)
+
+    monkeypatch.setattr(ckpt_lib, "save_checkpoint", spy)
+
+    job = str(tmp_path / "job")
+    train_main([
+        "--dataset_name", "rico",
+        "--data_dir", rico_dir, "--job-dir", job,
+        "--latent_dim", "16", "--num_blocks", "1", "--batch_size", "16",
+        "--num_epochs", "2", "--validation_freq", "1",
+        "--attention_impl", "xla", "--num_devices", "1",
+    ])
+    args = json.load(open(os.path.join(job, "args.json")))
+    assert args["checkpoint_every"] is None
+    # Periodic saves at the epoch-1 and epoch-2 boundaries + the end-of-run
+    # save; the crash-safe property is a 'last' BEFORE 'final' exists.
+    assert saved.count("last") >= 2, saved
+    assert saved.index("last") < saved.index("final"), saved
+    assert os.path.isdir(os.path.join(job, "checkpoints", "last"))

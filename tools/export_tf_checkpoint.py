@@ -26,7 +26,15 @@ from __future__ import annotations
 
 # Repo-root bootstrap so `python tools/export_tf_checkpoint.py` works without pip install.
 if __package__ in (None, ""):
-    import _bootstrap  # noqa: F401
+    # Inline (not `import _bootstrap`): the bare-name import relies on the
+    # interpreter prepending the script dir to sys.path, which -P /
+    # PYTHONSAFEPATH disable and a stray _bootstrap.py could shadow.
+    import os as _os
+    import sys as _sys
+
+    _repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if _repo not in _sys.path:
+        _sys.path.insert(0, _repo)
 else:
     from . import _bootstrap  # noqa: F401
 
