@@ -327,6 +327,13 @@ def sample_tasks(
     return jax.random.categorical(key, logits, shape=(batch_size,))
 
 
+def train_draw_shape(schema: Schema, batch_size: int) -> Tuple[int, ...]:
+    """Shape of the fused per-step uniform draw ``preprocess_for_train``
+    consumes: (B, 3, #sequence columns, S)."""
+    n_seq = sum(1 for c in schema.modeled if c.is_sequence)
+    return (batch_size, 3, n_seq, schema.max_length)
+
+
 def preprocess_for_train(
     inputs: Arrays,
     schema: Schema,
@@ -334,6 +341,7 @@ def preprocess_for_train(
     key: jax.Array,
     is_autoreg: bool = False,
     fast_rng: bool = False,
+    draws: Optional[jnp.ndarray] = None,
 ) -> Tuple[Arrays, Arrays, Arrays]:
     """Per-sample task masking: mux cheap (B, S) masks, touch data once.
 
@@ -347,6 +355,12 @@ def preprocess_for_train(
     slots).  That cut the measured train step from 10.4 to ~6 ms on v5e —
     the variant materialization was pure HBM traffic.
     ``is_autoreg`` makes elem masking pick the last valid element.
+
+    ``draws``: optionally pass the fused uniform tensor
+    (:func:`train_draw_shape`) precomputed by the caller — e.g. one bulk
+    per-epoch draw feeding a ``lax.scan`` over steps — instead of drawing
+    per call.  Same semantics for any U[0,1) source; the default per-call
+    threefry draw keeps the historical stream.
     """
     seq_mask = get_seq_mask(inputs["length"], schema.max_length)
     filtered = filter_padding(inputs, schema, seq_mask)
@@ -362,10 +376,10 @@ def preprocess_for_train(
     change_prob = 1.0 - UNCHANGE_PROB
     thresh = REPLACE_PROB / change_prob
 
-    n_seq = sum(1 for c in schema.modeled if c.is_sequence)
-    draws = jax.random.uniform(
-        k_random, (seq_mask.shape[0], 3, n_seq, seq_mask.shape[1])
-    )
+    if draws is None:
+        draws = jax.random.uniform(
+            k_random, train_draw_shape(schema, seq_mask.shape[0])
+        )
 
     modified: Arrays = {}
     masks: Arrays = {}

@@ -139,6 +139,7 @@ def forward_train(
     task_config: TaskConfig,
     train: bool = True,
     sample_weight: Optional[jnp.ndarray] = None,
+    mask_draws: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training forward pass: sample tasks, mask, predict, score.
 
@@ -166,7 +167,8 @@ def forward_train(
     # random-replacement draws can use the hardware rbg generator; val
     # (train=False) keeps threefry for exact batch-size invariance.
     targets, modified, masks = preprocess_for_train(
-        inputs, schema, tasks, k_mask, is_autoreg=is_autoreg, fast_rng=train
+        inputs, schema, tasks, k_mask, is_autoreg=is_autoreg, fast_rng=train,
+        draws=mask_draws,
     )
     rngs = (
         {"dropout": k_drop, "noise": k_noise, "vae": k_vae}

@@ -188,7 +188,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     l2: Optional[float],
 ) -> Callable:
-    def train_step(state: TrainState, batch, base_key):
+    def train_step(state: TrainState, batch, base_key, mask_draws=None):
         # Derive the per-step key INSIDE the compiled program from the step
         # counter: the host passes the same base key every step, avoiding a
         # per-step fold_in dispatch on the (slow) host->device path.
@@ -196,7 +196,8 @@ def make_train_step(
 
         def loss_fn(params):
             loss, metrics = forward_train(
-                model, params, batch, key, task_config, train=True
+                model, params, batch, key, task_config, train=True,
+                mask_draws=mask_draws,
             )
             if l2:
                 loss = loss + l2 * l2_penalty(params)
