@@ -126,8 +126,14 @@ class _ARBase(nn.Module):
     def _next_embedding(self, h_t, inputs, mfp_masks, t):
         """Decode step t, merge with GT on unmasked fields, re-encode.
 
-        Reference model.py:108-141.
+        Reference model.py:108-141.  ``t`` may be a traced scalar (the
+        decode loop is an ``nn.scan``), so slices are dynamic.
         """
+        import jax
+
+        def slice1(x):
+            return jax.lax.dynamic_slice_in_dim(x, t, 1, axis=1)
+
         outputs_t = self.decoder(h_t, deterministic=True)
         new_inputs: Arrays = {}
         for c in self.schema.modeled:
@@ -137,9 +143,9 @@ class _ARBase(nn.Module):
             if c.is_categorical:
                 out = jnp.argmax(out, axis=-1).astype(inputs[c.name].dtype)
             new_inputs[c.name] = jnp.where(
-                mfp_masks[c.name][:, t : t + 1, None],
+                slice1(mfp_masks[c.name])[..., None],
                 out[:, :1],
-                inputs[c.name][:, t : t + 1],
+                slice1(inputs[c.name]),
             )
         B = h_t.shape[0]
         new_inputs["length"] = jnp.zeros((B, 1), dtype=jnp.int32)
@@ -181,18 +187,31 @@ class AutoReg(_ARBase):
             h = blocks(h, mask, deterministic=False)
             return self.decoder(h, deterministic=False), {}
 
-        # Sequential decode over a static (B, S, D) buffer.
+        # Sequential decode over a static (B, S, D) buffer; the per-step
+        # loop is an nn.scan (params broadcast), not a Python unroll —
+        # S-1 unrolled transformer passes made a giant HLO whose remote
+        # XLA compile took tens of minutes.
+        import jax
+        import flax.linen as nn
+
         _, mask = self.encoder(inputs, deterministic=True)
         S = mask.shape[1]
         buf = jnp.concatenate(
             [bos, jnp.zeros((B, S - 1, self.latent_dim))], axis=1
         )
-        for t in range(S - 1):
-            h = blocks(buf, mask, deterministic=True)
-            nxt = self._next_embedding(
-                h[:, t : t + 1], inputs, mfp_masks, t
-            )
-            buf = buf.at[:, t + 1 : t + 2].set(nxt)
+
+        def step(mdl, buf, t):
+            h = mdl.blocks(buf, mask, deterministic=True)
+            h_t = jax.lax.dynamic_slice_in_dim(h, t, 1, axis=1)
+            nxt = mdl._next_embedding(h_t, inputs, mfp_masks, t)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, nxt, t + 1, axis=1)
+            return buf, None
+
+        scan = nn.scan(
+            step, variable_broadcast="params",
+            split_rngs={"params": False},
+        )
+        buf, _ = scan(self, buf, jnp.arange(S - 1))
         h = blocks(buf, mask, deterministic=True)
         return self.decoder(h, deterministic=True), {}
 
@@ -240,13 +259,26 @@ class BART(_ARBase):
             h = dec_blocks(h, memory, mask, mask, deterministic=False)
             return self.decoder(h, deterministic=False), {}
 
+        # Scanned sequential decode (see AutoReg.__call__).
+        import jax
+        import flax.linen as nn
+
         S = mask.shape[1]
         buf = jnp.concatenate(
             [bos, jnp.zeros((B, S - 1, self.latent_dim))], axis=1
         )
-        for t in range(S - 1):
-            h = dec_blocks(buf, memory, mask, mask, deterministic=True)
-            nxt = self._next_embedding(h[:, t : t + 1], inputs, mfp_masks, t)
-            buf = buf.at[:, t + 1 : t + 2].set(nxt)
+
+        def step(mdl, buf, t):
+            h = mdl.dec_blocks(buf, memory, mask, mask, deterministic=True)
+            h_t = jax.lax.dynamic_slice_in_dim(h, t, 1, axis=1)
+            nxt = mdl._next_embedding(h_t, inputs, mfp_masks, t)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, nxt, t + 1, axis=1)
+            return buf, None
+
+        scan = nn.scan(
+            step, variable_broadcast="params",
+            split_rngs={"params": False},
+        )
+        buf, _ = scan(self, buf, jnp.arange(S - 1))
         h = dec_blocks(buf, memory, mask, mask, deterministic=True)
         return self.decoder(h, deterministic=True), {}

@@ -8,11 +8,17 @@ prior (inference) latent, a per-attribute CVAE decoder produces features,
 and the KL between posterior and prior — weighted by the mfp mask — joins
 the loss (layoutvae.py:46-126).
 
-TPU-first restructuring: the reference concatenated growing prefixes
-(``h_targets[:, :i]`` + ``h_inputs[:, i:]``, layoutvae.py:67-69), a dynamic
-shape per step.  Here the fusion is a fixed-shape ``where(pos < i, ...)``
-select over two precomputed (B, S, D) tensors, so every step has identical
-shapes and the loop compiles as a single XLA program.
+TPU-first restructuring (two layers of it):
+
+* The reference concatenated growing prefixes (``h_targets[:, :i]`` +
+  ``h_inputs[:, i:]``, layoutvae.py:67-69), a dynamic shape per step.  Here
+  the fusion is a fixed-shape ``where(pos < i, ...)`` select over two
+  precomputed (B, S, D) tensors, so every step has identical shapes.
+* The per-element loop itself is an ``nn.scan`` (params broadcast, per-step
+  dropout/vae rngs), NOT a Python loop: unrolling S=50 full transformer
+  passes into one graph produced an HLO whose (remote) XLA compile ran tens
+  of minutes; the scanned body compiles once.  Same math, same parameter
+  tree.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...data.schema import Schema
@@ -46,7 +53,29 @@ class LayoutVAE(nn.Module):
     def _keys(self) -> Tuple[str, ...]:
         return tuple(c.name for c in self.schema.valid_columns())
 
-    @nn.compact
+    def setup(self):
+        self.encoder = Encoder(
+            self.schema, latent_dim=self.latent_dim, dropout=self.dropout,
+        )
+        self.encoder_gt = Encoder(
+            self.schema, latent_dim=self.latent_dim, dropout=self.dropout,
+            fusion="none",
+        )
+        self.blocks = Blocks(
+            latent_dim=self.latent_dim,
+            num_blocks=self.num_blocks,
+            block_type=self.block_type,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+            attention_impl=self.attention_impl,
+        )
+        self.encoder_cvae = MACVAEEncoder(self._keys)
+        self.decoder_cvae = MACVAEDecoder(self._keys)
+        self.prior = MAPrior(self._keys)
+        self.decoder = Decoder(
+            self.schema, latent_dim=self.latent_dim, detachment="none",
+        )
+
     def __call__(
         self,
         inputs: Arrays,
@@ -58,68 +87,70 @@ class LayoutVAE(nn.Module):
         keys = self._keys
         S = schema.max_length
 
-        encoder = Encoder(
-            schema, latent_dim=self.latent_dim, dropout=self.dropout,
-            name="encoder",
-        )
-        encoder_gt = Encoder(
-            schema, latent_dim=self.latent_dim, dropout=self.dropout,
-            fusion="none", name="encoder_gt",
-        )
-        blocks = Blocks(
-            latent_dim=self.latent_dim,
-            num_blocks=self.num_blocks,
-            block_type=self.block_type,
-            num_heads=self.num_heads,
-            dropout=self.dropout,
-            attention_impl=self.attention_impl,
-            name="blocks",
-        )
-        enc_cvae = MACVAEEncoder(keys, name="encoder_cvae")
-        dec_cvae = MACVAEDecoder(keys, name="decoder_cvae")
-        prior = MAPrior(keys, name="prior")
-        head_decoder = Decoder(
-            schema, latent_dim=self.latent_dim, detachment="none",
-            name="decoder",
-        )
-
-        h_inputs, mask = encoder(inputs, deterministic)
+        h_inputs, mask = self.encoder(inputs, deterministic)
         train = not deterministic
-        if train:
-            h_targets, _ = encoder(targets, deterministic)
-            h_gts, _ = encoder_gt(targets, deterministic)
-
         pos = jnp.arange(S)[None, :, None]  # (1, S, 1)
-        committed = jnp.zeros_like(h_inputs)  # eval: re-encoded predictions
-        stacks: Dict[str, list] = {k: [] for k in keys}
-        buffer: Dict[str, list] = {}
 
-        for i in range(S):
-            prefix = h_targets if train else committed
-            h_fused = jnp.where(pos < i, prefix, h_inputs)
-            c = blocks(h_fused, mask, deterministic=deterministic)[:, i : i + 1]
+        def slice1(x, i):
+            return jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
 
-            if train:
-                h_i = {k: h_gts[k][:, i : i + 1] for k in keys}
-                zs = enc_cvae(h_i, c, deterministic)
-                zs_p = prior(c, deterministic)
-                for k in keys:
-                    buffer.setdefault(k, []).append(
-                        (zs[k]["z_mean"], zs[k]["z_log_sigma"],
-                         zs_p[k]["z_mean"], zs_p[k]["z_log_sigma"])
-                    )
-                z = {k: zs[k]["z"] for k in keys}
-            else:
-                zs = prior(c, deterministic)
-                z = {k: zs[k]["z"] for k in keys}
+        aux: Dict[str, jnp.ndarray] = {}
+        if train:
+            h_targets, _ = self.encoder(targets, deterministic)
+            h_gts, _ = self.encoder_gt(targets, deterministic)
 
-            feats = dec_cvae(z, c, deterministic)
+            def step(mdl, carry, i):
+                h_fused = jnp.where(pos < i, h_targets, h_inputs)
+                c = slice1(
+                    mdl.blocks(h_fused, mask, deterministic=deterministic), i
+                )
+                h_i = {k: slice1(h_gts[k], i) for k in keys}
+                zs = mdl.encoder_cvae(h_i, c, deterministic)
+                zs_p = mdl.prior(c, deterministic)
+                feats = mdl.decoder_cvae(
+                    {k: zs[k]["z"] for k in keys}, c, deterministic
+                )
+                stats = {
+                    k: (zs[k]["z_mean"], zs[k]["z_log_sigma"],
+                        zs_p[k]["z_mean"], zs_p[k]["z_log_sigma"])
+                    for k in keys
+                }
+                return carry, (feats, stats)
+
+            scan = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True, "vae": True},
+                in_axes=0,
+                out_axes=1,
+            )
+            _, (feats_seq, stats_seq) = scan(self, 0, jnp.arange(S))
+            # scan stacks the (B, 1, ...) per-step outputs on axis 1 ->
+            # (B, S, 1, ...); drop the singleton step axis.
+            features = {k: feats_seq[k][:, :, 0] for k in keys}
+
+            kl_total = jnp.asarray(0.0)
             for k in keys:
-                stacks[k].append(feats[k])
+                mq, lq, mp, lp = (s[:, :, 0] for s in stats_seq[k])
+                kl = gaussian_kl(mq, lq, mp, lp)  # (B, S)
+                kl = self.kl * kl * mfp_masks[k].astype(jnp.float32)
+                kl = jnp.mean(kl)
+                aux[f"{k}_kl"] = kl  # metric only; summed into kl_loss below
+                kl_total = kl_total + kl
+            aux["kl_loss"] = kl_total
+        else:
+            committed0 = jnp.zeros_like(h_inputs)
+            B = h_inputs.shape[0]
 
-            if not train:
+            def step(mdl, committed, i):
+                h_fused = jnp.where(pos < i, committed, h_inputs)
+                c = slice1(mdl.blocks(h_fused, mask, deterministic=True), i)
+                zs = mdl.prior(c, True)
+                feats = mdl.decoder_cvae(
+                    {k: zs[k]["z"] for k in keys}, c, True
+                )
                 # Decode step i, merge with GT on unmasked fields, re-encode.
-                outputs_i = head_decoder(
+                outputs_i = mdl.decoder(
                     {k: feats[k] for k in keys}, deterministic=True
                 )
                 new_inputs: Arrays = {}
@@ -131,31 +162,26 @@ class LayoutVAE(nn.Module):
                     if c_spec.is_categorical:
                         out = jnp.argmax(out, -1).astype(inputs[k].dtype)
                     new_inputs[k] = jnp.where(
-                        mfp_masks[k][:, i : i + 1, None],
+                        slice1(mfp_masks[k], i)[..., None],
                         out[:, :1],
-                        inputs[k][:, i : i + 1],
+                        slice1(inputs[k], i),
                     )
-                new_inputs["length"] = jnp.zeros(
-                    (h_inputs.shape[0], 1), dtype=jnp.int32
+                new_inputs["length"] = jnp.zeros((B, 1), dtype=jnp.int32)
+                elem, _ = mdl.encoder(new_inputs, deterministic=True)
+                committed = jax.lax.dynamic_update_slice_in_dim(
+                    committed, elem, i, axis=1
                 )
-                elem, _ = encoder(new_inputs, deterministic=True)
-                committed = committed.at[:, i : i + 1].set(elem)
+                return committed, feats
 
-        aux: Dict[str, jnp.ndarray] = {}
-        if train:
-            kl_total = jnp.asarray(0.0)
-            for k in keys:
-                mq = jnp.concatenate([b[0] for b in buffer[k]], axis=1)
-                lq = jnp.concatenate([b[1] for b in buffer[k]], axis=1)
-                mp = jnp.concatenate([b[2] for b in buffer[k]], axis=1)
-                lp = jnp.concatenate([b[3] for b in buffer[k]], axis=1)
-                kl = gaussian_kl(mq, lq, mp, lp)  # (B, S)
-                kl = self.kl * kl * mfp_masks[k].astype(jnp.float32)
-                kl = jnp.mean(kl)
-                aux[f"{k}_kl"] = kl  # metric only; summed into kl_loss below
-                kl_total = kl_total + kl
-            aux["kl_loss"] = kl_total
+            scan = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=1,
+            )
+            _, feats_seq = scan(self, committed0, jnp.arange(S))
+            features = {k: feats_seq[k][:, :, 0] for k in keys}
 
-        features = {k: jnp.concatenate(v, axis=1) for k, v in stacks.items()}
-        outputs = head_decoder(features, deterministic=deterministic)
+        outputs = self.decoder(features, deterministic=deterministic)
         return outputs, aux
