@@ -249,6 +249,17 @@ class DeviceDataCache:
             self.shard_size = self.num_records
             self.local_counts = np.array([self.num_records], dtype=np.int64)
 
+        # Host copy of per-record lengths (shard order) so the elem-protocol
+        # index builder can enumerate only REAL (record, element) replicas.
+        self._host_lengths = (
+            np.array(
+                [int(np.asarray(r["length"]).reshape(-1)[0]) for r in records],
+                dtype=np.int64,
+            )
+            if records and "length" in records[0]
+            else None
+        )
+
         self.data = {}
         for k, v in records[0].items():
             if isinstance(v, np.ndarray) and v.dtype == object:
@@ -368,29 +379,50 @@ class DeviceDataCache:
         """Per-(record, element) replica blocks for ``elem`` evaluation.
 
         Returns ``(doc_idx, elem_idx, weight)`` each of shape (T, chunk):
-        local record index, element index, and a weight zeroing replicas of
-        padding records.  (Replicas whose target *element* is padding are
-        zeroed later, on device, from the gathered lengths.)
+        local record index, element index, and the replica weight.  Only
+        REAL elements get replicas (r4): evaluation sums are
+        order-invariant and a padding-element replica contributes an exact
+        0/0 (reference eval.py:66-90 skips those rows the same way), so
+        enumerating pairs from the host-known lengths instead of the full
+        ``shard_size x seq_len`` grid cuts the forward-pass count by
+        ``N*S / sum(length)`` — ~3-5x at crello shapes.  Tail slots (and
+        mesh devices holding fewer real replicas) are padded with
+        zero-weight (doc 0, elem 0) entries; the on-device weight is still
+        ANDed with the gathered length mask, so a stale host length can
+        only zero a row, never add one.
         """
         D = self.data_axis_size
         assert chunk % D == 0, (chunk, D)
         per_dev = chunk // D
-        total = self.shard_size * seq_len
-        T = -(-total // per_dev)
-        r = np.arange(T * per_dev)
-        doc = np.minimum(r // seq_len, self.shard_size - 1).astype(np.int32)
-        elem = (r % seq_len).astype(np.int32)
-        doc = np.tile(doc.reshape(T, 1, per_dev), (1, D, 1))
-        elem = np.tile(elem.reshape(T, 1, per_dev), (1, D, 1))
-        w = (
-            (r // seq_len).reshape(T, 1, per_dev)
-            < self.local_counts.reshape(1, D, 1)
-        )
-        return (
-            doc.reshape(T, chunk),
-            elem.reshape(T, chunk),
-            w.astype(np.float32).reshape(T, chunk),
-        )
+        slots = np.arange(self.shard_size)
+        if self._host_lengths is None:
+            # No length column: every (record, element) pair is a replica.
+            lengths = np.full((D, self.shard_size), seq_len, dtype=np.int64)
+        else:
+            # The length column is ZERO-based (vocab-looked-up): a record
+            # with length value L has L+1 real elements (cf. get_seq_mask).
+            lengths = np.clip(
+                self._host_lengths.reshape(D, self.shard_size) + 1, 0, seq_len
+            )
+        # Padding records (repeated shard tail) emit no replicas at all.
+        lengths = lengths * (slots[None, :] < self.local_counts[:, None])
+        counts = lengths.sum(axis=1)
+        T = max(1, int(-(-counts.max() // per_dev)))
+        doc = np.zeros((D, T * per_dev), np.int32)
+        elem = np.zeros((D, T * per_dev), np.int32)
+        w = np.zeros((D, T * per_dev), np.float32)
+        for d in range(D):
+            n = int(counts[d])
+            dd = np.repeat(slots, lengths[d]).astype(np.int32)
+            starts = np.cumsum(lengths[d]) - lengths[d]
+            doc[d, :n] = dd
+            elem[d, :n] = (np.arange(n) - starts[dd]).astype(np.int32)
+            w[d, :n] = 1.0
+
+        def blk(a):  # (D, T*per_dev) -> (T, chunk), device-aligned columns
+            return a.reshape(D, T, per_dev).transpose(1, 0, 2).reshape(T, chunk)
+
+        return blk(doc), blk(elem), blk(w)
 
 
 def make_sharded_gather(mesh):

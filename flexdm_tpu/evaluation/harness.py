@@ -293,14 +293,18 @@ def _accumulate(total: Dict[str, float], names, stacked) -> None:
 
 def _batches(
     loader, mesh=None
-) -> Iterable[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
-    """Yields (batch, sample_weight, global record ids) per host batch."""
+) -> Iterable[
+    Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray]
+]:
+    """Yields (batch, sample_weight, global record ids, host lengths) per
+    host batch.  ``host lengths`` is the pre-upload length column (B,) so
+    callers can build replica indices without a device->host fetch."""
     offset = 0
     for host_batch in loader:
         num_valid = host_batch.get(NUM_VALID_KEY, None)
-        batch = {
-            k: jnp.asarray(v) for k, v in split_device_batch(host_batch).items()
-        }
+        host_split = split_device_batch(host_batch)
+        host_lengths = np.asarray(host_split["length"]).reshape(-1).copy()
+        batch = {k: jnp.asarray(v) for k, v in host_split.items()}
         B = batch["length"].shape[0]
         w = np.ones((B,), dtype=np.float32)
         if num_valid is not None:
@@ -317,7 +321,7 @@ def _batches(
             batch = mesh_lib.shard_global_batch(batch, mesh)
             w = mesh_lib.shard_global_batch(w, mesh)
             ids = mesh_lib.shard_global_batch(ids, mesh)
-        yield batch, w, ids
+        yield batch, w, ids, host_lengths
 
 
 def evaluate_task(
@@ -557,14 +561,29 @@ def _evaluate_task_streaming(
     key = jax.random.PRNGKey(seed)
     total: Dict[str, float] = defaultdict(float)
 
-    for batch, weight, ids in _batches(loader, mesh):
+    for batch, weight, ids, host_lengths in _batches(loader, mesh):
         if task_mode == "random":
             masks = _random_masks(schema, batch, key, ids)
             _accumulate(total, names, step(params, batch, masks, weight))
         elif task_mode == "elem":
-            n = batch["length"].shape[0] * schema.max_length
-            for start in range(0, n, elem_chunk):
-                idx = jnp.arange(start, start + elem_chunk, dtype=jnp.int32)
+            # Enumerate only REAL (document, element) replicas from the
+            # host-known lengths (zero-based: L+1 real elements) — padding
+            # replicas contribute an exact 0/0, so skipping them changes
+            # nothing but the forward-pass count (~3-5x at crello shapes).
+            S = schema.max_length
+            B = host_lengths.shape[0]
+            real = (
+                np.arange(S)[None, :]
+                < np.clip(host_lengths[:, None] + 1, 0, S)
+            )
+            rids = np.flatnonzero(real.reshape(-1))  # r = b*S + i ordering
+            pad = (-len(rids)) % elem_chunk
+            # Pad value B*S is out of range -> elem_step zero-weights it.
+            rids = np.concatenate(
+                [rids, np.full(pad, B * S, dtype=np.int64)]
+            ).astype(np.int32)
+            for start in range(0, len(rids), elem_chunk):
+                idx = jnp.asarray(rids[start : start + elem_chunk])
                 _accumulate(total, names, step(params, batch, idx, weight))
         else:
             assert group is not None, task_mode

@@ -227,7 +227,7 @@ def test_resident_autoreg_elem_matches_streaming(setup):
         model, num_iter=1, sort=False, task_id=None, autoreg=True
     )
     total = defaultdict(float)
-    for batch, weight, _ids in H._batches(
+    for batch, weight, _ids, _lens in H._batches(
         spec.make_dataset("test", batch_size=16)
     ):
         n = batch["length"].shape[0] * S
@@ -249,3 +249,59 @@ def test_resident_autoreg_elem_matches_streaming(setup):
 
     for k in names_r:
         np.testing.assert_allclose(resident[k], total[k], rtol=1e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("num_devices", [1, 8])
+def test_elem_blocks_enumerate_exactly_real_elements(setup, num_devices):
+    """r4: elem replicas cover each REAL (record, element) pair exactly
+    once (length is zero-based: L+1 real elements), nothing else gets
+    weight, and mesh blocks stay device-aligned."""
+    spec, loader, model, params = setup
+    mesh = mesh_lib.make_mesh(8) if num_devices == 8 else None
+    cache = DeviceDataCache(loader, mesh=mesh)
+    S = spec.schema.max_length
+    D = cache.data_axis_size
+    chunk = 16
+    doc, elem, w = cache.elem_index_blocks(chunk, S)
+    assert doc.shape == elem.shape == w.shape
+    assert doc.shape[1] == chunk
+    per_dev = chunk // D
+    seen = set()
+    for t in range(doc.shape[0]):
+        for row in range(chunk):
+            d = row // per_dev
+            if w[t, row] == 0.0:
+                continue
+            g = int(doc[t, row]) * D + d if D > 1 else int(doc[t, row])
+            assert g < cache.num_records
+            pair = (g, int(elem[t, row]))
+            assert pair not in seen  # exactly once
+            seen.add(pair)
+    expected = set()
+    for g in range(loader.num_records):
+        n = int(np.asarray(loader._record(g)["length"]).reshape(-1)[0]) + 1
+        for e in range(min(n, S)):
+            expected.add((g, e))
+    assert seen == expected
+
+
+def test_elem_streaming_matches_resident(setup):
+    """r4: the streaming elem branch enumerates only real replicas from
+    host lengths; scores must match the resident scan exactly (both paths
+    dropped padding replicas that contribute 0/0)."""
+    from flexdm_tpu.evaluation.harness import evaluate_task
+
+    spec, loader, model, params = setup
+    ans_res = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=16),
+        "elem", None, elem_chunk=64,
+    )
+    ans_stream = evaluate_task(
+        model, params, spec.make_dataset("test", batch_size=12),
+        "elem", None, elem_chunk=64, resident=False,
+    )
+    assert set(ans_res) == set(ans_stream) and ans_res
+    for k in ans_res:
+        np.testing.assert_allclose(
+            ans_stream[k], ans_res[k], rtol=2e-5, err_msg=k
+        )

@@ -33,22 +33,24 @@ WORDS = ("sale summer brand new launch deal flash event open join "
          "free taste shop local night live music art fest").split()
 
 
-def _element(rng: random.Random, i: int):
+def _element(rng: random.Random, i: int, cw: int, ch: int):
+    # Geometry is in PIXELS relative to the canvas, as in real crello raw
+    # dumps — the offline builder normalizes by canvas size (norm(el.x, w)).
     t = rng.random()
     if i == 0 and t < 0.7:
         return {
-            "type": "coloredBackground", "uuid": f"u{i}", "width": 1.0,
-            "height": 1.0, "opacity": 1.0,
+            "type": "coloredBackground", "uuid": f"u{i}", "width": cw,
+            "height": ch, "opacity": 1.0,
             "color": "#%06x" % rng.randrange(1 << 24),
             "position": {"x": 0, "y": 0},
         }
     common = {
         "uuid": f"u{i}",
-        "width": round(rng.uniform(0.05, 0.9), 4),
-        "height": round(rng.uniform(0.05, 0.9), 4),
+        "width": round(rng.uniform(0.05, 0.9) * cw, 1),
+        "height": round(rng.uniform(0.05, 0.9) * ch, 1),
         "opacity": round(rng.uniform(0.5, 1.0), 3),
-        "left": round(rng.uniform(0.0, 0.8), 4),
-        "top": round(rng.uniform(0.0, 0.8), 4),
+        "left": round(rng.uniform(0.0, 0.8) * cw, 1),
+        "top": round(rng.uniform(0.0, 0.8) * ch, 1),
     }
     if t < 0.35:
         return dict(common, type="textElement",
@@ -67,14 +69,16 @@ def make_raw_dump(path: str, docs: int, seed: int = 0) -> None:
     with open(path, "w") as f:
         for d in range(docs):
             n = rng.randint(1, 15)
+            cw = rng.choice([1080, 1200, 800])
+            ch = rng.choice([1080, 628, 600])
             tpl = {
                 "id": f"tpl{d:06d}",
                 "templateType": "regular",
-                "width": rng.choice([1080, 1200, 800]),
-                "height": rng.choice([1080, 628, 600]),
+                "width": cw,
+                "height": ch,
                 "group": rng.choice(GROUPS),
                 "format": rng.choice(FORMATS),
-                "template": [{"elements": [_element(rng, i)
+                "template": [{"elements": [_element(rng, i, cw, ch)
                                            for i in range(n)]}],
             }
             f.write(json.dumps(tpl) + "\n")
@@ -126,6 +130,19 @@ def main(argv=None):
     row["train_records"] = loader.num_records
     row["first_epoch_decode_sec"] = round(dt, 1)
     assert nb == len(loader)
+
+    # Degenerate-data tripwire: a units mismatch between the raw dump and
+    # the builder once collapsed every position into bucket 0, which makes
+    # eval scores a vacuous 1.0.  Fail loudly instead.
+    import numpy as np
+
+    probe = next(iter(spec.make_dataset("train", batch_size=64)))
+    for col in ("left", "top", "width", "height"):
+        if col in probe and len(np.unique(np.asarray(probe[col]))) < 2:
+            raise AssertionError(
+                f"built dataset is degenerate: column {col!r} has a "
+                "single value across 64 documents"
+            )
 
     # 3. Train device-resident (the flagship input path).
     from flexdm_tpu.train.trainer import TrainConfig, train
