@@ -25,6 +25,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument(
+        "--quick", action="store_true",
+        help="tiny f32/bf16 configs (smoke-testable on CPU; the numbers "
+        "only exercise the repeat/statistics protocol, not the anchors)")
     args = parser.parse_args(argv)
 
     from flexdm_tpu.utils import enable_persistent_compilation_cache
@@ -33,19 +37,26 @@ def main(argv=None):
 
     from bench import _spec, measure_train
 
-    spec = _spec(256)
-    configs = {
-        "flagship_f32": dict(latent=256, blocks=4, dtype=None),
-        "flagship_bf16": dict(latent=256, blocks=4, dtype="bfloat16"),
-        "scaled_f32": dict(latent=512, blocks=8, dtype=None),
-        "scaled_bf16": dict(latent=512, blocks=8, dtype="bfloat16"),
-    }
+    batch = 8 if args.quick else 256
+    spec = _spec(batch)
+    if args.quick:
+        configs = {
+            "quick_f32": dict(latent=16, blocks=1, dtype=None),
+            "quick_bf16": dict(latent=16, blocks=1, dtype="bfloat16"),
+        }
+    else:
+        configs = {
+            "flagship_f32": dict(latent=256, blocks=4, dtype=None),
+            "flagship_bf16": dict(latent=256, blocks=4, dtype="bfloat16"),
+            "scaled_f32": dict(latent=512, blocks=8, dtype=None),
+            "scaled_bf16": dict(latent=512, blocks=8, dtype="bfloat16"),
+        }
     out = {}
     for name, cfg in configs.items():
         vals = []
         for _ in range(args.repeats):
             r = measure_train(
-                spec, 256, cfg["latent"], cfg["blocks"], args.steps,
+                spec, batch, cfg["latent"], cfg["blocks"], args.steps,
                 dtype=cfg["dtype"],
             )
             vals.append(r["steps_per_sec"])
@@ -58,6 +69,7 @@ def main(argv=None):
         }
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

@@ -39,6 +39,12 @@ def main(argv=None):
     parser.add_argument("--docs", type=int, default=2048)
     parser.add_argument("--epochs", type=int, default=None,
                         help="override the preset's num_epochs")
+    parser.add_argument("--latent-dim", type=int, default=None,
+                        help="override the preset's latent_dim (smoke runs)")
+    parser.add_argument("--num-blocks", type=int, default=None,
+                        help="override the preset's num_blocks (smoke runs)")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="override the preset's batch_size (smoke runs)")
     parser.add_argument("--arch", default=None, choices=sorted(PRESETS),
                         help="run one architecture instead of all")
     parser.add_argument("--job-root", default=None)
@@ -69,6 +75,15 @@ def main(argv=None):
             preset = json.load(f)
         if args.epochs:
             preset["num_epochs"] = args.epochs
+            preset["validation_freq"] = min(
+                preset.get("validation_freq", args.epochs), args.epochs
+            )
+        if args.latent_dim:
+            preset["latent_dim"] = args.latent_dim
+        if args.num_blocks:
+            preset["num_blocks"] = args.num_blocks
+        if args.batch_size:
+            preset["batch_size"] = args.batch_size
         config = TrainConfig(
             data_dir=data_dir,
             job_dir=os.path.join(job_root, arch),
