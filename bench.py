@@ -390,6 +390,22 @@ def _last_verified_result():
     return None
 
 
+def _round_local_verified():
+    """Mid-round fetch-verified hardware measurements (``BENCH_LOCAL.json``,
+    written by the session that measured them, each entry labeled with its
+    protocol).  The driver's ``BENCH_r*`` logs only capture end-of-round
+    runs; when the relay is down at round end, this is the freshest honest
+    context.  Returns the parsed dict or None; never raises.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -425,6 +441,11 @@ def main() -> None:
             # hardware numbers, clearly labeled as prior measurements —
             # a dead relay says nothing about the framework's speed.
             extra["last_verified"] = last
+        local = _round_local_verified()
+        if local is not None:
+            # Mid-round measurements newer than any BENCH_r* log; clearly
+            # protocol-labeled, never presented as the headline value.
+            extra["round_local_verified"] = local
         print(json.dumps({
             "metric": "train_steps_per_sec_per_chip",
             "value": 0.0,

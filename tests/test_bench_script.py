@@ -34,3 +34,23 @@ def test_bench_quick_emits_contract_json():
     ):
         assert key in extra, key
     assert extra["backend"] == "cpu"
+
+
+def test_outage_fallback_carries_round_local_measurements():
+    """When the relay is dead the fallback record attaches BOTH the newest
+    driver log (last_verified) and the mid-round BENCH_LOCAL.json context —
+    protocol-labeled measurements newer than any BENCH_r* file."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    local = bench._round_local_verified()
+    assert local is not None
+    assert "measurements" in local and "note" in local
+    for entry in local["measurements"].values():
+        assert "protocol" in entry, entry
+    last = bench._last_verified_result()
+    assert last is not None
+    assert last["source"].startswith("BENCH_r")
+    assert last["value"] > 0
