@@ -215,6 +215,29 @@ def make_train_step(
     return train_step
 
 
+def _best_score_from_history(log_path: str) -> float:
+    """Best ``val_total_score`` recorded in ``history.jsonl`` (-inf if none).
+
+    Used on ``--resume`` to restore the best-checkpoint watermark: every
+    ``checkpoints/best`` save appends a history record with the score that
+    earned it, so the max over the log is the score ``best`` holds.
+    Malformed lines (e.g. a crash mid-append) are skipped.
+    """
+    best = -math.inf
+    if not os.path.exists(log_path):
+        return best
+    with open(log_path) as f:
+        for line in f:
+            try:
+                record = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            score = record.get("val_total_score")
+            if isinstance(score, (int, float)) and score > best:
+                best = float(score)
+    return best
+
+
 def _all_finite(tree) -> jnp.ndarray:
     """Scalar bool: every floating leaf of the pytree is finite."""
     flags = [
@@ -442,6 +465,7 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     )
 
     start_epoch = 1
+    best_score = -math.inf
     last_path = os.path.join(ckpt_dir, "last")
     if config.resume and os.path.isdir(last_path):
         # Exact resume: parameters, Adam moments, and the step counter all
@@ -453,7 +477,19 @@ def train(config: TrainConfig) -> Dict[str, Any]:
         start_epoch = 1 + int(state.step) // _steps_per_epoch(
             train_loader, per_host_batch
         )
-        logger.info("resumed from %s at epoch %d", last_path, start_epoch)
+        # Recover the best validation score from the run's own history so a
+        # resumed run can never overwrite a better `best` checkpoint with a
+        # worse first post-resume validation.  Every `best` save is paired
+        # with a history record carrying val_total_score, so the max over
+        # ALL records (even past the restored step — a validation newer than
+        # the last periodic 'last' save still wrote `best`) reproduces the
+        # score `checkpoints/best` currently holds.  Reference anchor:
+        # best-only ModelCheckpoint, helpers/callbacks.py:49-56.
+        best_score = _best_score_from_history(log_path)
+        logger.info(
+            "resumed from %s at epoch %d (best val_total_score so far: %s)",
+            last_path, start_epoch, best_score,
+        )
 
     mesh = mesh_lib.make_mesh(config.num_devices, config.model_parallel)
     state = mesh_lib.shard_state(state, mesh)
@@ -503,7 +539,6 @@ def train(config: TrainConfig) -> Dict[str, Any]:
     val_key = jax.random.fold_in(base_key, 2**30)
 
     steps_per_epoch = _steps_per_epoch(train_loader, per_host_batch)
-    best_score = -math.inf
     history = []
     if input_mode == "device":
         def run_epoch(state, epoch):
