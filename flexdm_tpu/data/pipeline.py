@@ -361,17 +361,15 @@ class DeviceDataCache:
         return self._device_blocks[key]
 
     def device_elem_blocks(self, chunk: int, seq_len: int):
-        """Device-resident ``(doc, elem, w, t)`` blocks for the ``elem``
+        """Device-resident ``(doc, elem, w)`` blocks for the ``elem``
         protocol, uploaded once per (cache, chunk, seq_len)."""
         import jax.numpy as jnp
 
         key = ("elem", chunk, seq_len)
         if key not in self._device_blocks:
             doc, elem, w = self.elem_index_blocks(chunk, seq_len)
-            T = doc.shape[0]
             self._device_blocks[key] = (
                 jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w),
-                jnp.arange(T, dtype=jnp.int32),
             )
         return self._device_blocks[key]
 

@@ -298,12 +298,18 @@ def _batches(
 ]:
     """Yields (batch, sample_weight, global record ids, host lengths) per
     host batch.  ``host lengths`` is the pre-upload length column (B,) so
-    callers can build replica indices without a device->host fetch."""
+    callers can build replica indices without a device->host fetch; only
+    the streaming ``elem`` branch consumes it, so it is None when the
+    split has no length column (elem requires one; other modes don't)."""
     offset = 0
     for host_batch in loader:
         num_valid = host_batch.get(NUM_VALID_KEY, None)
         host_split = split_device_batch(host_batch)
-        host_lengths = np.asarray(host_split["length"]).reshape(-1).copy()
+        host_lengths = (
+            np.asarray(host_split["length"]).reshape(-1).copy()
+            if "length" in host_split
+            else None
+        )
         batch = {k: jnp.asarray(v) for k, v in host_split.items()}
         B = batch["length"].shape[0]
         w = np.ones((B,), dtype=np.float32)
@@ -422,7 +428,7 @@ def _resident_scan(
             # masked — vectorized form of reference eval.py:66-90.  The
             # full B·S expansion is never materialized; each chunk gathers
             # only its own rows.
-            doc, elem, w, t = xs
+            doc, elem, w = xs
             sub = gather(data, doc)
             eye = jax.nn.one_hot(elem, S, dtype=bool)
             seq = get_seq_mask(sub["length"], S)
@@ -571,6 +577,9 @@ def _evaluate_task_streaming(
             # replicas contribute an exact 0/0, so skipping them changes
             # nothing but the forward-pass count (~3-5x at crello shapes).
             S = schema.max_length
+            assert host_lengths is not None, (
+                "elem evaluation needs a 'length' column in the split"
+            )
             B = host_lengths.shape[0]
             real = (
                 np.arange(S)[None, :]
@@ -682,6 +691,10 @@ def main(argv=None) -> Dict[str, float]:
     parser.add_argument("--attention_impl", default=None, type=str)
     parser.add_argument("--num_devices", default=None, type=int,
                         help="shard evaluation batches over a data mesh")
+    parser.add_argument("--data_dir", default=None, type=str,
+                        help="override the data dir recorded in args.json "
+                             "(for job dirs moved across machines; parity "
+                             "with serve.py --data-dir)")
     args = parser.parse_args(argv)
 
     with open(os.path.join(args.job_dir, "args.json")) as f:
@@ -692,6 +705,8 @@ def main(argv=None) -> Dict[str, float]:
     })
     if args.attention_impl:
         config.attention_impl = args.attention_impl
+    if args.data_dir:
+        config.data_dir = args.data_dir
 
     spec = DatasetSpec(config.dataset_name, config.data_dir, args.batch_size)
     model = build_model(config, spec.schema)

@@ -155,7 +155,8 @@ def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int):
     if isinstance(model, MFPModel):
         return model.init(rngs, modified, deterministic=True)
     # Baselines: initialize through the (cheap) teacher-forced training
-    # path; the eval path's static decode loop would trace S graphs.
+    # path; the eval path would run the full sequential nn.scan decode
+    # just to create parameters.
     return model.init(rngs, modified, batch, masks, deterministic=False)
 
 

@@ -238,9 +238,7 @@ def test_resident_autoreg_elem_matches_streaming(setup):
     # Resident path with autoreg=True.
     cache = DeviceDataCache(test_loader)
     doc, elem, w = cache.elem_index_blocks(64, S)
-    T = doc.shape[0]
-    xs = (jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w),
-          jnp.arange(T, dtype=jnp.int32))
+    xs = (jnp.asarray(doc), jnp.asarray(elem), jnp.asarray(w))
     scan_fn, names_r, _ = H._resident_scan(
         model, "elem", None, 1, False, None, True, None, False
     )

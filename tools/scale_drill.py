@@ -166,16 +166,20 @@ def main(argv=None):
     steps_per_epoch = loader.num_records // args.batch_size
     # Total wall is dominated by one-time work (resident-split upload
     # through the platform relay + remote compile); the steady-state rate
-    # is the smallest epoch-over-epoch wall delta (pure train scan, no
-    # val/checkpoint work).
+    # uses the MEDIAN epoch-over-epoch wall delta (min is optimistically
+    # biased; both are reported so the spread is visible).
     if len(hist) >= 2:
+        import statistics
+
         deltas = [
             hist[i]["wall_time"] - hist[i - 1]["wall_time"]
             for i in range(1, len(hist))
         ]
-        row["steady_epoch_sec"] = round(min(deltas), 2)
+        med = statistics.median(deltas)
+        row["steady_epoch_sec"] = round(med, 2)
+        row["steady_epoch_sec_min"] = round(min(deltas), 2)
         row["steady_steps_per_sec"] = round(
-            steps_per_epoch / max(min(deltas), 1e-9), 1
+            steps_per_epoch / max(med, 1e-9), 1
         )
     row["startup_sec"] = round(hist[0]["wall_time"], 1)
 
