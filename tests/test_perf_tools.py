@@ -36,10 +36,16 @@ def test_ablate_residue_variants_run():
 def test_anchor_noise_quick_protocol():
     from tools.anchor_noise import main
 
-    out = main(["--quick", "--repeats", "2", "--steps", "3"])
-    assert set(out) == {"quick_f32", "quick_bf16"}
+    out = main(["--quick", "--repeats", "2", "--steps", "3",
+                "--eval-anchors", "--test-docs", "64"])
+    # Train anchors + the banded eval anchors (quick mode skips MaskGIT:
+    # its fixed 256x256x4 model is too heavy for the CPU suite).
+    assert set(out) == {
+        "quick_f32", "quick_bf16",
+        "eval_docs_per_sec", "elem_docs_per_sec", "decode_docs_per_sec",
+    }
     for row in out.values():
-        assert len(row["steps_per_sec"]) == 2
+        assert len(row["values"]) == 2
         assert row["median"] > 0
         assert row["spread_pct"] >= 0
 
