@@ -105,6 +105,13 @@ def train_main(argv=None) -> None:
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper()))
 
+    # Product entry points share the persistent XLA cache: a re-run (or a
+    # demo/eval/serve process after training) starts in seconds instead of
+    # paying the remote compile again.
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from .train.trainer import TrainConfig, train
 
     config = TrainConfig(

@@ -39,9 +39,21 @@ from .train import checkpoint as ckpt_lib
 from .train.trainer import TrainConfig, build_model, init_params
 
 
-def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8):
+def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8,
+               timings: Optional[Dict[str, float]] = None):
     """Rebuild the model of a training job and load its weights
     (reference notebooks/util.py:16-27)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+
+    def _tick(stage):
+        nonlocal t0
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[stage] = round(now - t0, 3)
+        t0 = now
+
     with open(os.path.join(job_dir, "args.json")) as f:
         train_args = json.load(f)
     config = TrainConfig(**{
@@ -49,12 +61,16 @@ def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8):
         if k in {f.name for f in dataclasses.fields(TrainConfig)}
     })
     spec = DatasetSpec(config.dataset_name, config.data_dir, batch_size)
+    _tick("spec")
     model = build_model(config, spec.schema)
     sample = split_device_batch(next(iter(spec.make_dataset("test", batch_size=2))))
+    _tick("sample_batch")
     params = init_params(model, sample, config.seed)
+    _tick("init_params")
     params = ckpt_lib.load_checkpoint(
         os.path.join(job_dir, "checkpoints", checkpoint), params
     )
+    _tick("load_checkpoint")
     return model, params, spec
 
 
@@ -95,14 +111,42 @@ def run_demo(
     checkpoint: str = "best",
     split: str = "test",
     data_dir_override: Optional[str] = None,
+    timings: Optional[Dict[str, float]] = None,
 ) -> str:
-    model, params, spec = load_model(job_dir, checkpoint, batch_size=num_examples)
+    """Render GT / masked-input / prediction rows to ``out_path``.
+
+    ``timings``: pass a dict to receive a per-stage wall-time breakdown
+    (seconds) — used by ``tools/profile_demo.py`` so the measured path IS
+    the production path."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+
+    def _tick(stage):
+        nonlocal t0
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[stage] = round(now - t0, 3)
+        t0 = now
+
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    lm_timings = {} if timings is not None else None
+    model, params, spec = load_model(
+        job_dir, checkpoint, batch_size=num_examples, timings=lm_timings
+    )
+    if timings is not None:
+        for k, v in lm_timings.items():
+            timings[f"load_model.{k}"] = v
     if data_dir_override:
         spec = DatasetSpec(spec.name, data_dir_override, num_examples)
     schema = spec.schema
+    _tick("load_model")
 
     host = next(iter(spec.make_dataset(split, batch_size=num_examples)))
     batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
+    _tick("load_batch")
     masks = build_task_masks(schema, batch, task)
     tasks = None
     if getattr(model, "context", None) == "id":
@@ -116,7 +160,11 @@ def run_demo(
             dtype=jnp.int32,
         )
     pred = forward_eval(model, params, batch, masks, tasks=tasks, num_iter=num_iter)
-    pred = {k: v for k, v in pred.items()}
+    # Barrier with a value fetch: on this platform block_until_ready can
+    # return before the device finishes (CLAUDE.md benchmarking note), and
+    # the per-stage timings below must not absorb device time.
+    pred = {k: jax.device_get(v) for k, v in pred.items()}
+    _tick("forward_eval")
 
     from .helpers.svg import load_fonts_css
 
@@ -136,6 +184,7 @@ def run_demo(
         {k: jax.device_get(v) for k, v in masked_input_view(schema, batch, masks).items()}
     )
     pred_items = spec.unbatch({k: jax.device_get(v) for k, v in pred.items()})
+    _tick("unbatch")
 
     rows = []
     for gt, inp, pr in zip(gt_items, in_items, pred_items):
@@ -153,6 +202,7 @@ def run_demo(
     )
     with open(out_path, "w") as f:
         f.write(page)
+    _tick("svg_html")
     return out_path
 
 

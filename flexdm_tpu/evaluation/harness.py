@@ -697,6 +697,10 @@ def main(argv=None) -> Dict[str, float]:
                              "with serve.py --data-dir)")
     args = parser.parse_args(argv)
 
+    from ..utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     with open(os.path.join(args.job_dir, "args.json")) as f:
         train_args = json.load(f)
     config = TrainConfig(**{

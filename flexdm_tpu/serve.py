@@ -248,6 +248,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     engine = InferenceEngine(
         args.job_dir, args.checkpoint, args.batch_size, args.data_dir
     )
