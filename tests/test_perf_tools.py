@@ -86,3 +86,31 @@ def test_scale_drill_tiny_end_to_end(tmp_path):
     assert all(v == v for v in row["eval_pos_scores"].values())
     assert row["demo_html_bytes"] > 0
     assert os.path.exists(os.path.join(str(tmp_path), "demo.html"))
+
+
+def test_bench_serve_smoke(request, tmp_path):
+    """tools/bench_serve.py drives the real HTTP serving path and reports
+    cold-compile + warm p50/p95 per protocol (VERDICT r4 #8)."""
+    from flexdm_tpu.train import TrainConfig, train
+
+    rico_dir = request.getfixturevalue("rico_dir")
+    job = str(tmp_path / "job")
+    train(TrainConfig(
+        dataset_name="rico", data_dir=rico_dir, job_dir=job,
+        latent_dim=16, num_blocks=1, num_heads=2, batch_size=16,
+        num_epochs=1, validation_freq=1, attention_impl="xla",
+        num_devices=1, seed=0,
+    ))
+
+    from tools.bench_serve import main
+
+    out = main([
+        "--job-dir", job, "--batch-size", "2", "--requests", "2",
+        "--num_iter", "2", "--out", str(tmp_path / "serve.json"),
+    ])
+    assert out["cold_pos_iter1_sec"] > 0
+    for key in ("pos_1doc", "pos_2doc", "elem_1doc_iter2"):
+        assert out[key]["p50_ms"] > 0
+        assert out[key]["p95_ms"] >= out[key]["p50_ms"]
+    with open(tmp_path / "serve.json") as f:
+        assert json.load(f)["requests"] == 2
