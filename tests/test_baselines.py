@@ -73,6 +73,7 @@ def test_gaussian_kl_zero_for_identical():
 
 
 @pytest.mark.parametrize("cls", [CanvasVAE, LayoutVAE, AutoReg, BART])
+@pytest.mark.slow
 def test_baseline_train_and_eval_paths(cls, data):
     schema, x, masks = data
     model = cls(**_common(schema))
@@ -102,6 +103,7 @@ def test_baseline_train_and_eval_paths(cls, data):
 
 
 @pytest.mark.parametrize("cls", [AutoReg, BART])
+@pytest.mark.slow
 def test_autoreg_is_causal(cls, data):
     """Changing element j>t must not change the decode at steps <= t when
     that element is masked (fed through mfp mask merge)."""
@@ -122,6 +124,7 @@ def test_autoreg_is_causal(cls, data):
         )
 
 
+@pytest.mark.slow
 def test_baseline_forward_train_integration(data):
     schema, x, masks = data
     tc = make_task_config(schema, "elem_pos")

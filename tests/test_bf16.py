@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from flexdm_tpu.data import split_device_batch
 from flexdm_tpu.models import MFPModel, make_task_config
 from flexdm_tpu.train import TrainState, init_params, make_optimizer, make_train_step

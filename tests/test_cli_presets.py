@@ -24,6 +24,7 @@ def test_all_preset_files_are_valid():
         assert not unknown, f"{name}: unknown keys {unknown}"
 
 
+@pytest.mark.slow
 def test_preset_cli_applies_defaults_and_flags_win(rico_dir, tmp_path):
     from flexdm_tpu.cli import train_main
 
@@ -73,6 +74,7 @@ def test_train_wrapper_arg_routing(tmp_path):
     assert " rico" not in positional.split("--dataset_name rico", 1)[1]
 
 
+@pytest.mark.slow
 def test_cli_default_writes_periodic_last_checkpoint(
     rico_dir, tmp_path, monkeypatch
 ):

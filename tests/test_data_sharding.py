@@ -90,6 +90,7 @@ def test_epoch_indices_cover_each_record_once(setup):
     assert len(seen) == len(steps) * B
 
 
+@pytest.mark.slow
 def test_train_scan_on_sharded_cache(setup):
     """The trainer's bundled scan runs on a sharded cache with finite loss."""
     spec, loader, model, params = setup
@@ -113,6 +114,7 @@ def test_train_scan_on_sharded_cache(setup):
     assert int(state.step) == block.shape[0]
 
 
+@pytest.mark.slow
 def test_train_scan_unsharded_cache_on_mesh(setup):
     """The trainer's fallback for a batch that doesn't divide the data axis:
     an UNSHARDED cache on a multi-device mesh must still run the scan (with
@@ -146,6 +148,7 @@ def test_train_scan_unsharded_cache_on_mesh(setup):
 
 
 @pytest.mark.parametrize("task_mode", ["pos", "attr", "elem"])
+@pytest.mark.slow
 def test_eval_scores_match_single_device(setup, task_mode):
     """Deterministic-mask tasks must score identically on a sharded cache
     (the num/den sums are order- and sharding-invariant)."""
@@ -170,6 +173,7 @@ def test_eval_scores_match_single_device(setup, task_mode):
         np.testing.assert_allclose(ans1[k], ans8[k], rtol=2e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_random_eval_invariant_to_mesh_and_path(setup):
     """'random'-task scores are a function of (seed, record identity) only:
     per-record mask draws make the resident 8-device, resident 1-device,
@@ -206,6 +210,7 @@ def test_cache_rejects_multiprocess(setup, monkeypatch):
         DeviceDataCache(loader, mesh=mesh_lib.make_mesh(8))
 
 
+@pytest.mark.slow
 def test_resident_autoreg_elem_matches_streaming(setup):
     """The resident scan's autoreg elem branch (reorganize-on-gathered-sub)
     must reproduce the independent streaming implementation

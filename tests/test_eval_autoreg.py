@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flexdm_tpu.evaluation.harness import _expand_elem
 from flexdm_tpu.models import forward_eval
@@ -36,6 +37,7 @@ def test_expand_elem_autoreg_moves_target_last():
         assert float(weight[b * S + L + 1]) == 0.0 if L + 1 < S else True
 
 
+@pytest.mark.slow
 def test_forward_eval_with_autoreg_baseline():
     schema = tiny_schema()
     x = tiny_inputs(schema=schema, lengths=(2, 3, 1, 2))
@@ -51,6 +53,7 @@ def test_forward_eval_with_autoreg_baseline():
     assert np.all(np.isfinite(np.asarray(out["left"])))
 
 
+@pytest.mark.slow
 def test_elem_eval_live_path_matches_expand_elem_spec(crello_spec):
     """The chunked on-device elem step (the live path in evaluate_task) must
     reproduce the _expand_elem specification exactly, autoreg reordering

@@ -31,9 +31,9 @@ from tests.ref_oracle import reference_available, reference_imports
 
 tf = pytest.importorskip("tensorflow")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference checkout not present"
-)
+)]
 
 BATCH = 4
 

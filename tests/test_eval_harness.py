@@ -107,6 +107,7 @@ def test_evaluate_all_modes(setup):
         assert final
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device(setup):
     """Scores must be identical when eval batches shard over an 8-dev mesh."""
     from flexdm_tpu.parallel import mesh as mesh_lib
@@ -138,6 +139,7 @@ def test_maskgit_eval_runs(setup):
         assert 0.0 <= v <= 1.0
 
 
+@pytest.mark.slow
 def test_eval_cli(tmp_path, rico_dir):
     """Full CLI round trip: train 1 epoch then evaluate."""
     from flexdm_tpu.cli import train_main
@@ -158,6 +160,7 @@ def test_eval_cli(tmp_path, rico_dir):
     assert (tmp_path / "out.csv").exists()
 
 
+@pytest.mark.slow
 def test_eval_cli_data_dir_override(tmp_path, rico_dir):
     """A job dir whose args.json records a stale data path must still be
     evaluable via --data_dir (round-4 verdict weak #4; parity with
@@ -197,6 +200,7 @@ def test_eval_cli_data_dir_override(tmp_path, rico_dir):
     assert "left" in final
 
 
+@pytest.mark.slow
 def test_context_id_eval_threads_task_id(setup):
     """A context='id' model must be evaluated with the task-mode's embedding
     id (reference eval.py:99-101), not the default id 0 ('random')."""

@@ -164,6 +164,7 @@ def test_text_retriever_exact_and_topk(store_dir):
     assert top2[0] == "text number 5" and len(top2) == 2
 
 
+@pytest.mark.slow
 def test_demo_page(tmp_path, rico_dir):
     from flexdm_tpu.cli import train_main
     from flexdm_tpu.demo import run_demo

@@ -81,6 +81,7 @@ def test_device_cache_epoch_indices_cover_split(crello_spec):
     assert not np.array_equal(np.asarray(seen), other)
 
 
+@pytest.mark.slow
 def test_train_host_and_device_modes_agree(rico_dir, tmp_path):
     from flexdm_tpu.train import TrainConfig, train
 
@@ -130,6 +131,7 @@ def test_multi_host_sharding_is_disjoint_and_exhaustive(crello_spec):
     assert sorted(lengths(h0) + lengths(h1)) == lengths(full)
 
 
+@pytest.mark.slow
 def test_train_wires_process_sharding(rico_dir, tmp_path, monkeypatch):
     """train() must pass jax.process_index()/process_count() into the train
     loader (VERDICT round 1: the num_hosts flag was dead code)."""

@@ -157,6 +157,7 @@ def test_context_id_runs(crello_spec):
     assert out["type"].shape == (2, spec.schema.max_length, 1, spec.schema["type"].input_dim)
 
 
+@pytest.mark.slow
 def test_remat_gradients_match(crello_setup):
     """nn.remat over blocks must not change gradients (same params tree)."""
     spec, model, params, batch, masks = crello_setup

@@ -321,6 +321,7 @@ def numpy_forward_flat(params, modified, schema, num_heads, num_blocks):
 
 
 @pytest.mark.parametrize("fixture", ["crello_spec", "rico_spec"])
+@pytest.mark.slow
 def test_flax_flat_seq_matches_numpy_reference(request, fixture):
     spec = request.getfixturevalue(fixture)
     schema = spec.schema

@@ -48,6 +48,7 @@ def _run_steps(model, tc, tx, state, batch, mesh, n=3):
     return state, metrics
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(setup):
     """8-way sharded training must match single-device training.
 
@@ -116,6 +117,7 @@ def test_params_replicated(setup):
     assert leaf.addressable_shards[0].data.shape == leaf.shape
 
 
+@pytest.mark.slow
 def test_model_parallel_axis_accepted(setup):
     spec, model, tc, tx, state, batch = setup
     mesh = mesh_lib.make_mesh(8, model_parallel=2)
@@ -172,6 +174,7 @@ def test_tensor_parallel_params_actually_sharded(setup):
 
 
 @pytest.mark.parametrize("model_parallel", [2, 4])
+@pytest.mark.slow
 def test_tensor_parallel_matches_data_parallel(setup, model_parallel):
     """Training under tensor parallelism must reproduce pure-DP results
     bit-close (same math, different layout).  mp=4 splits every head onto

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flexdm_tpu.data import split_device_batch
 from flexdm_tpu.models import MFPModel, make_task_config
@@ -15,6 +16,7 @@ from flexdm_tpu.train import (
 from flexdm_tpu.utils.profiling import analytic_train_flops, mfu
 
 
+@pytest.mark.slow
 def test_analytic_flops_close_to_xla_cost_analysis(crello_spec):
     """The hand model must track what XLA actually schedules (it powers the
     MFU number in bench.py)."""

@@ -1,6 +1,9 @@
 """Determinism: same seed -> identical training trajectory."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from flexdm_tpu.train import TrainConfig, train
 

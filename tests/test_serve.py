@@ -47,6 +47,7 @@ def test_batch_documents_inverts_unbatch(crello_spec):
             np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+@pytest.mark.slow
 def test_engine_predicts_masked_fields(tiny_job, rico_spec):
     from flexdm_tpu.serve import InferenceEngine
 
@@ -78,6 +79,7 @@ def engine_safe(docs):
     return [_jsonable(d) for d in docs]
 
 
+@pytest.mark.slow
 def test_http_server_round_trip(tiny_job, rico_spec):
     from flexdm_tpu.serve import InferenceEngine, serve
 

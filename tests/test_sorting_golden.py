@@ -84,6 +84,7 @@ def test_sort_inputs_matches_reference(dataset, request, ref_tensor_utils):
             )
 
 
+@pytest.mark.slow
 def test_sort_inputs_from_logits_matches_reference(request, ref_tensor_utils):
     """from_logits=True argmaxes categorical logits before packing the
     priority but gathers the ORIGINAL logits (reference

@@ -94,6 +94,7 @@ def test_train_end_to_end(trained_job):
     assert os.path.exists(os.path.join(config.job_dir, "logs", "history.jsonl"))
 
 
+@pytest.mark.slow
 def test_warm_start(trained_job, rico_dir, tmp_path):
     config, results = trained_job
     job2 = str(tmp_path / "job2")
@@ -110,6 +111,7 @@ def test_warm_start(trained_job, rico_dir, tmp_path):
     assert results2["history"][0]["loss"] < results["history"][0]["loss"]
 
 
+@pytest.mark.slow
 def test_resume_continues_from_last_checkpoint(trained_job, tmp_path):
     """--resume restores params+optimizer+step and continues epoch count."""
     config, results = trained_job
@@ -142,6 +144,7 @@ def _dir_digest(path):
     return digest.hexdigest()
 
 
+@pytest.mark.slow
 def test_resume_never_clobbers_better_best(trained_job, tmp_path):
     """A resumed run whose post-resume validations are all worse than the
     pre-crash best must leave checkpoints/best byte-identical (round-4
@@ -217,6 +220,7 @@ def test_l2_penalty_exempts_fusion_norm(crello_spec):
     np.testing.assert_allclose(float(l2_penalty(params)), expected, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_val_scores_invariant_to_batch_size(rico_spec):
     """Padded batch tails must not re-count samples: the val total_score is
     identical whether the 32-sample split is batched 16|16 or 12|12|8+4pad."""
@@ -290,6 +294,7 @@ def test_scan_finite_flag_catches_mid_epoch_nan():
     assert bool(metrics_ok["finite"])
 
 
+@pytest.mark.slow
 def test_nan_stop_preserves_resumable_state(trained_job, rico_dir, tmp_path):
     """Warm-starting from NaN weights must stop at epoch 1 WITHOUT writing a
     poisoned 'last' checkpoint (so --resume never restores NaN state)."""
@@ -317,6 +322,7 @@ def test_nan_stop_preserves_resumable_state(trained_job, rico_dir, tmp_path):
     assert not os.path.isdir(os.path.join(job2, "checkpoints", "final"))
 
 
+@pytest.mark.slow
 def test_periodic_last_checkpoint_defaults_to_validation_freq(
     trained_job, monkeypatch, tmp_path
 ):

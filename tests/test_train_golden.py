@@ -114,6 +114,7 @@ def test_adam_update_rule_matches_keras_bitwise():
     assert np.abs(np.asarray(q) - keras_params).max() > 1e-5
 
 
+@pytest.mark.slow
 def test_training_steps_match_reference(tmp_path_factory, ref_modules):
     import jax
     import jax.numpy as jnp
