@@ -94,20 +94,22 @@ def test_native_decode_speedup(crello_spec, crello_dir):
     shard = tfrecord.list_shards(crello_dir, "train")[0]
     payloads = tfrecord.read_records(shard)
 
-    t0 = time.perf_counter()
-    for p in payloads:
-        crello_spec.decode_record(p)
-    t_native = time.perf_counter() - t0
+    def measure():
+        t0 = time.perf_counter()
+        for p in payloads:
+            crello_spec.decode_record(p)
+        return time.perf_counter() - t0
 
+    # Best-of-3 each way: a single window on this 1-core host is at the
+    # mercy of whatever else is scheduled, and a tie flunks a strict `<`.
+    t_native = min(measure() for _ in range(3))
     crello_spec._native_metas_cache = ()
-    t0 = time.perf_counter()
-    for p in payloads:
-        crello_spec.decode_record(p)
-    t_python = time.perf_counter() - t0
+    t_python = min(measure() for _ in range(3))
     del crello_spec._native_metas_cache
 
-    # Embeddings dominate decode time; native should win clearly.
-    assert t_native < t_python
+    # Embeddings dominate decode time; native should win clearly (measured
+    # ~5x quiet — 1.3x is a loose non-regression floor, not the target).
+    assert t_native < t_python / 1.3, (t_native, t_python)
 
 def test_native_seq_features_decode_all_kinds():
     """One-pass decode of float + int64 feature lists (incl. negatives and
