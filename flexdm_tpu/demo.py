@@ -65,7 +65,9 @@ def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8,
     model = build_model(config, spec.schema)
     sample = split_device_batch(next(iter(spec.make_dataset("test", batch_size=2))))
     _tick("sample_batch")
-    params = init_params(model, sample, config.seed)
+    # Abstract init: the checkpoint load below supplies every value, so
+    # computing real init values would only buy a 65 s remote compile.
+    params = init_params(model, sample, config.seed, abstract=True)
     _tick("init_params")
     params = ckpt_lib.load_checkpoint(
         os.path.join(job_dir, "checkpoints", checkpoint), params
@@ -147,22 +149,38 @@ def run_demo(
     host = next(iter(spec.make_dataset(split, batch_size=num_examples)))
     batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
     _tick("load_batch")
-    masks = build_task_masks(schema, batch, task)
-    tasks = None
+
+    task_id = None
     if getattr(model, "context", None) == "id":
         # Condition the task embedding on the demoed task
         # (reference eval.py:99-101; notebooks pass demo_args["tasks"]).
         from .evaluation.harness import task_id_for_mode
 
-        tasks = jnp.full(
-            (batch["length"].shape[0],),
-            task_id_for_mode(schema, task),
-            dtype=jnp.int32,
+        task_id = task_id_for_mode(schema, task)
+
+    # ONE jitted program covers all device work (mask build + masked view +
+    # forward): eagerly this path paid hundreds of ~35 ms relay round-trips
+    # plus per-op remote compiles (191 s cold, r5 measurement); as a single
+    # HLO it compiles once and the persistent XLA cache serves repeat
+    # processes in seconds.
+    def _step(params, batch, mask_key):
+        masks = build_task_masks(schema, batch, task, key=mask_key)
+        view = masked_input_view(schema, batch, masks)
+        tasks = None
+        if task_id is not None:
+            tasks = jnp.full(
+                (batch["length"].shape[0],), task_id, dtype=jnp.int32
+            )
+        pred = forward_eval(
+            model, params, batch, masks, tasks=tasks, num_iter=num_iter
         )
-    pred = forward_eval(model, params, batch, masks, tasks=tasks, num_iter=num_iter)
+        return view, pred
+
+    view, pred = jax.jit(_step)(params, batch, jax.random.PRNGKey(0))
     # Barrier with a value fetch: on this platform block_until_ready can
     # return before the device finishes (CLAUDE.md benchmarking note), and
     # the per-stage timings below must not absorb device time.
+    view = {k: jax.device_get(v) for k, v in view.items()}
     pred = {k: jax.device_get(v) for k, v in pred.items()}
     _tick("forward_eval")
 
@@ -180,10 +198,8 @@ def run_demo(
         fonts_css=load_fonts_css(spec.path) if spec.path else None,
     )
     gt_items = spec.unbatch(host)
-    in_items = spec.unbatch(
-        {k: jax.device_get(v) for k, v in masked_input_view(schema, batch, masks).items()}
-    )
-    pred_items = spec.unbatch({k: jax.device_get(v) for k, v in pred.items()})
+    in_items = spec.unbatch(view)
+    pred_items = spec.unbatch(pred)
     _tick("unbatch")
 
     rows = []

@@ -717,7 +717,8 @@ def main(argv=None) -> Dict[str, float]:
     sample = split_device_batch(
         next(iter(spec.make_dataset(args.split, batch_size=2)))
     )
-    params = init_params(model, sample, config.seed)
+    # Abstract template only — the checkpoint restore supplies every value.
+    params = init_params(model, sample, config.seed, abstract=True)
     ckpt_path = os.path.join(args.job_dir, "checkpoints", args.checkpoint)
     logger.info("loading %s", ckpt_path)
     params = ckpt_lib.load_checkpoint(ckpt_path, params)

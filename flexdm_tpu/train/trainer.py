@@ -139,8 +139,16 @@ def build_model(config: TrainConfig, schema):
     raise NotImplementedError(config.arch_type)
 
 
-def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int):
-    """Initialize parameters from a sample batch (test-path shapes)."""
+def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int,
+                abstract: bool = False):
+    """Initialize parameters from a sample batch (test-path shapes).
+
+    ``abstract=True`` returns a tree of ``jax.ShapeDtypeStruct`` via
+    ``jax.eval_shape`` — zero device work and zero compiles.  Use it when a
+    checkpoint load follows immediately (demo/serve/eval CLIs): computing
+    real init values only to overwrite them cost 65 s of remote compile on
+    the demo cold path (r5 measurement).
+    """
     schema = model.schema
     batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
     seq_mask = get_seq_mask(batch["length"], schema.max_length)
@@ -153,11 +161,14 @@ def init_params(model, sample_batch: Dict[str, np.ndarray], seed: int):
         "dropout": jax.random.PRNGKey(2),
     }
     if isinstance(model, MFPModel):
-        return model.init(rngs, modified, deterministic=True)
-    # Baselines: initialize through the (cheap) teacher-forced training
-    # path; the eval path would run the full sequential nn.scan decode
-    # just to create parameters.
-    return model.init(rngs, modified, batch, masks, deterministic=False)
+        init = lambda: model.init(rngs, modified, deterministic=True)
+    else:
+        # Baselines: initialize through the (cheap) teacher-forced training
+        # path; the eval path would run the full sequential nn.scan decode
+        # just to create parameters.
+        init = lambda: model.init(rngs, modified, batch, masks,
+                                  deterministic=False)
+    return jax.eval_shape(init) if abstract else init()
 
 
 def _steps_per_epoch(train_loader, batch_size: int) -> int:

@@ -177,7 +177,7 @@ def main(argv=None):
     sample = split_device_batch(
         next(iter(spec.make_dataset("test", batch_size=2)))
     )
-    template_params = init_params(model, sample, seed=0)
+    template_params = init_params(model, sample, seed=0, abstract=True)
     params = load_checkpoint(args.checkpoint, template_params)
 
     values, dtypes = load_template(args.template)
