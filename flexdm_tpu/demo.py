@@ -24,6 +24,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .data import DatasetSpec, split_device_batch
 from .evaluation.harness import _group_masks
@@ -147,7 +148,6 @@ def run_demo(
     _tick("load_model")
 
     host = next(iter(spec.make_dataset(split, batch_size=num_examples)))
-    batch = {k: jnp.asarray(v) for k, v in split_device_batch(host).items()}
     _tick("load_batch")
 
     task_id = None
@@ -160,10 +160,17 @@ def run_demo(
 
     # ONE jitted program covers all device work (mask build + masked view +
     # forward): eagerly this path paid hundreds of ~35 ms relay round-trips
-    # plus per-op remote compiles (191 s cold, r5 measurement); as a single
-    # HLO it compiles once and the persistent XLA cache serves repeat
-    # processes in seconds.
-    def _step(params, batch, mask_key):
+    # plus per-op remote compiles (191 s cold, r5 measurement).  Inputs and
+    # outputs ride the packed float32 transport — one upload, one fetch —
+    # because ~45 per-column transfers at ~35 ms each would cost ~1.6 s on
+    # their own (flexdm_tpu/transport.py).
+    from . import transport
+
+    numeric = {k: np.asarray(v) for k, v in split_device_batch(host).items()}
+    in_spec = transport.batch_spec(numeric)
+
+    def _forward(params, flat, mask_key):
+        batch = transport.unpack_in_jit(flat, in_spec)
         masks = build_task_masks(schema, batch, task, key=mask_key)
         view = masked_input_view(schema, batch, masks)
         tasks = None
@@ -174,14 +181,30 @@ def run_demo(
         pred = forward_eval(
             model, params, batch, masks, tasks=tasks, num_iter=num_iter
         )
-        return view, pred
+        merged = {f"view.{k}": v for k, v in view.items()}
+        merged.update({f"pred.{k}": v for k, v in pred.items()})
+        return merged
 
-    view, pred = jax.jit(_step)(params, batch, jax.random.PRNGKey(0))
+    flat_in = transport.pack(numeric, in_spec)
+    out_spec = transport.eval_spec(
+        _forward, params, jax.ShapeDtypeStruct(flat_in.shape, jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+
+    def _step(params, flat, mask_key):
+        return transport.pack_in_jit(_forward(params, flat, mask_key), out_spec)
+
+    flat_out = jax.jit(_step)(
+        params, jnp.asarray(flat_in), jax.random.PRNGKey(0)
+    )
     # Barrier with a value fetch: on this platform block_until_ready can
     # return before the device finishes (CLAUDE.md benchmarking note), and
     # the per-stage timings below must not absorb device time.
-    view = {k: jax.device_get(v) for k, v in view.items()}
-    pred = {k: jax.device_get(v) for k, v in pred.items()}
+    merged = transport.unpack(np.asarray(jax.device_get(flat_out)), out_spec)
+    view = {k[len("view."):]: v for k, v in merged.items()
+            if k.startswith("view.")}
+    pred = {k[len("pred."):]: v for k, v in merged.items()
+            if k.startswith("pred.")}
     _tick("forward_eval")
 
     from .helpers.svg import load_fonts_css

@@ -35,6 +35,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import transport
+
 logger = logging.getLogger(__name__)
 
 
@@ -75,21 +77,37 @@ class InferenceEngine:
         self.schema = self.spec.schema
         self.batch_size = batch_size
         self._steps: Dict[str, object] = {}
+        self._keys: Dict[int, object] = {}  # seed -> device PRNG key
         self._lock = threading.Lock()
 
     @property
     def tasks(self) -> List[str]:
         return ["elem"] + list(self.schema.attribute_groups.keys())
 
-    def _step(self, task: str, num_iter: int):
-        """One jitted program per (task, num_iter); compiled on first use."""
+    def _step(self, task: str, num_iter: int, in_spec):
+        """One jitted program per (task, num_iter, input layout).
+
+        The program takes the request batch as ONE packed float32 vector and
+        returns predictions the same way.  On this platform every
+        host<->device buffer costs a ~35 ms relay round-trip; the per-column
+        dict transport paid ~16 uploads + ~16 fetches per request (measured
+        p50 901 ms warm for a ~10 ms device step).  Packing cuts that to one
+        upload + one fetch.  float32 carries every field exactly: the int
+        columns are vocab ids / lengths / pixel sizes < 2^24 (guarded in
+        ``predict``).
+
+        ``in_spec``: tuple of ``(name, shape, dtype_str)`` for the device
+        batch, sorted by name — part of the memo key so layout changes
+        retrace.  Returns ``(fn, out_spec)``.
+        """
         import jax
+        import jax.numpy as jnp
 
         from .demo import build_task_masks
         from .evaluation.harness import task_id_for_mode
         from .models import forward_eval
 
-        key = (task, num_iter)
+        key = (task, num_iter, in_spec)
         with self._lock:
             if key in self._steps:
                 return self._steps[key]
@@ -99,9 +117,7 @@ class InferenceEngine:
         if getattr(model, "context", None) == "id":
             task_id = task_id_for_mode(schema, task)
 
-        def step(params, batch, mask_key):
-            import jax.numpy as jnp
-
+        def raw_step(params, batch, mask_key):
             masks = build_task_masks(schema, batch, task, key=mask_key)
             tasks = None
             if task_id is not None:
@@ -112,10 +128,21 @@ class InferenceEngine:
                 model, params, batch, masks, tasks=tasks, num_iter=num_iter
             )
 
-        fn = jax.jit(step)
+        # Output layout from abstract evaluation — no device work, no compile.
+        out_spec = transport.eval_spec(
+            raw_step, self.params, transport.abstract_tree(in_spec),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+
+        def step(params, flat, mask_key):
+            pred = raw_step(params, transport.unpack_in_jit(flat, in_spec),
+                            mask_key)
+            return transport.pack_in_jit(pred, out_spec)
+
+        entry = (jax.jit(step), out_spec)
         with self._lock:
-            self._steps[key] = fn
-        return fn
+            self._steps[key] = entry
+        return entry
 
     def predict(
         self,
@@ -145,14 +172,28 @@ class InferenceEngine:
         batch = self.spec.batch_documents(
             list(documents) + [documents[-1]] * (self.batch_size - n)
         )
-        device_batch = {
-            k: jnp.asarray(v) for k, v in batch.items()
+        numeric = {
+            k: np.asarray(v) for k, v in batch.items()
             if not (v.dtype == object)
         }
-        pred = self._step(task, num_iter)(
-            self.params, device_batch, jax.random.PRNGKey(seed)
-        )
-        host = {k: np.asarray(jax.device_get(v)) for k, v in pred.items()}
+        in_spec = transport.batch_spec(numeric)
+        flat_in = transport.pack(numeric, in_spec)
+        fn, out_spec = self._step(task, num_iter, in_spec)
+        with self._lock:
+            mask_key = self._keys.get(seed)
+            if mask_key is None:
+                if len(self._keys) >= 1024:  # bound the per-seed memo
+                    self._keys.clear()
+                # Device-resident per-seed key: rebuilding it per request
+                # costs a ~35 ms relay upload (same lesson as the eval
+                # harness's memoized _device_key).
+                mask_key = self._keys[seed] = jax.device_put(
+                    jax.random.PRNGKey(seed)
+                )
+        flat_out = np.asarray(jax.device_get(
+            fn(self.params, jnp.asarray(flat_in), mask_key)
+        ))
+        host = transport.unpack(flat_out, out_spec)
         # demo-only columns (strings) pass straight through for rendering
         for k, v in batch.items():
             if v.dtype == object and k not in host:

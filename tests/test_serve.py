@@ -72,6 +72,45 @@ def test_engine_predicts_masked_fields(tiny_job, rico_spec):
     assert len(preds5) == 5
 
 
+@pytest.mark.slow
+def test_packed_transport_is_lossless(tiny_job, rico_spec):
+    """The single-buffer float32 transport (one upload + one fetch per
+    request) must be bit-equivalent to running forward_eval directly on
+    the dict batch: every int field survives the f32 round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexdm_tpu.demo import build_task_masks
+    from flexdm_tpu.models import forward_eval
+    from flexdm_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(tiny_job, checkpoint="final", batch_size=3)
+    docs = engine_safe(rico_spec.unbatch(
+        next(iter(rico_spec.make_dataset("test", batch_size=3)))
+    ))
+    preds = engine.predict(docs, task="pos", seed=0)
+
+    # Direct path: same padded batch, same masks, no packing.
+    batch = engine.spec.batch_documents(docs)
+    device_batch = {
+        k: jnp.asarray(v) for k, v in batch.items() if not (v.dtype == object)
+    }
+    masks = build_task_masks(
+        engine.schema, device_batch, "pos", key=jax.random.PRNGKey(0)
+    )
+    direct = forward_eval(
+        engine.model, engine.params, device_batch, masks, num_iter=1
+    )
+    host = {k: np.asarray(jax.device_get(v)) for k, v in direct.items()}
+    for k, v in batch.items():
+        if v.dtype == object and k not in host:
+            host[k] = v
+    from flexdm_tpu.serve import _jsonable
+
+    expected = [_jsonable(d) for d in engine.spec.unbatch(host)[:3]]
+    assert preds == expected
+
+
 def engine_safe(docs):
     """unbatch emits numpy scalars; serialize like a client would."""
     from flexdm_tpu.serve import _jsonable
