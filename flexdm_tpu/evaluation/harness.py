@@ -729,6 +729,11 @@ def main(argv=None) -> Dict[str, float]:
 
         mesh = mesh_lib.make_mesh(args.num_devices)
         params = mesh_lib.shard_params(params, mesh)
+    else:
+        # orbax restores host numpy leaves; commit once so per-task scan
+        # calls don't each re-upload the full model (same fix as
+        # demo.load_model).
+        params = jax.device_put(params)
 
     ans_all = evaluate_all(
         model, params, spec, args.task_mode,
