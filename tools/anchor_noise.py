@@ -67,6 +67,11 @@ def main(argv=None):
         "--quick", action="store_true",
         help="tiny f32/bf16 configs (smoke-testable on CPU; the numbers "
         "only exercise the repeat/statistics protocol, not the anchors)")
+    parser.add_argument(
+        "--configs", default=None,
+        help="comma-separated subset of the train configs to measure "
+        "(e.g. 'flagship_bf16,scaled_f32'); lets an interrupted "
+        "measurement resume without repeating finished anchors")
     args = parser.parse_args(argv)
 
     from flexdm_tpu.utils import enable_persistent_compilation_cache
@@ -89,6 +94,13 @@ def main(argv=None):
             "scaled_f32": dict(latent=512, blocks=8, dtype=None),
             "scaled_bf16": dict(latent=512, blocks=8, dtype="bfloat16"),
         }
+    if args.configs:
+        wanted = set(args.configs.split(","))
+        unknown = wanted - set(configs)
+        if unknown:
+            parser.error(f"unknown configs {sorted(unknown)}; "
+                         f"choose from {sorted(configs)}")
+        configs = {k: v for k, v in configs.items() if k in wanted}
     out = {}
     for name, cfg in configs.items():
         vals = []
