@@ -676,7 +676,11 @@ class DatasetSpec:
                     for j in range(length):
                         row = x[j]
                         if hasattr(row, "shape") and row.shape and row.shape[0] > 1:
-                            item["elements"][j][name] = list(row)
+                            # tolist(), not list(): pure-Python values keep
+                            # JSON serialization off the per-np-scalar path
+                            # (a 768-dim feature row costs ~1 us/element to
+                            # walk as np scalars).
+                            item["elements"][j][name] = row.tolist()
                         else:
                             item["elements"][j][name] = np.ravel(row)[0]
                 else:

@@ -41,15 +41,22 @@ logger = logging.getLogger(__name__)
 
 
 def _jsonable(x):
-    """Convert unbatch output (numpy scalars/arrays, bytes) to JSON types."""
+    """Convert unbatch output (numpy scalars/arrays, bytes) to JSON types.
+
+    Numeric ndarrays take the ``tolist()`` fast path (already pure-Python
+    all the way down) instead of a per-element recursion — the recursive
+    walk cost ~130 ms per serving response on the 768-dim feature columns.
+    """
     if isinstance(x, dict):
         return {k: _jsonable(v) for k, v in x.items()}
     if isinstance(x, (list, tuple)):
         return [_jsonable(v) for v in x]
-    if isinstance(x, bytes):
+    if isinstance(x, bytes):  # checked before np.generic: np.bytes_ is both
         return x.decode("utf-8", "replace")
     if isinstance(x, np.ndarray):
-        return _jsonable(x.tolist())
+        if x.dtype == object:
+            return [_jsonable(v) for v in x.tolist()]
+        return x.tolist()
     if isinstance(x, np.generic):
         return _jsonable(x.item())
     return x
@@ -101,6 +108,20 @@ class InferenceEngine:
         host-built ``device_put(PRNGKey(seed))`` paid ~2 relay round-trips
         per previously-unseen seed.
 
+        The fetch is SCOPED to the columns the task can actually modify:
+        ``merge_inputs_and_prediction`` (masking.py:447) writes ground
+        truth back onto every field whose mask is False, and a group
+        task's masks (harness.py:54 ``_group_masks``) are all-False
+        outside the group — so only the group's sequence columns can
+        differ from the request (``elem`` masks one whole element, so all
+        modeled sequence columns stay in scope).  Categorical columns are
+        argmaxed ON DEVICE (first-max tie-breaking, identical to the host
+        ``logit_to_label`` argmax; unmasked rows are one-hot ground truth
+        so the argmax recovers the input label exactly), shrinking a
+        (B,S,k,V) logit fetch to (B,S,k) labels.  For a crello ``pos``
+        request this cuts the fetched payload from ~2.2 MB (every column,
+        incl. the untouched 768-dim image/text features) to a few KB.
+
         ``in_spec``: tuple of ``(name, shape, dtype_str)`` for the device
         batch, sorted by name — part of the memo key so layout changes
         retrace.  Returns ``(fn, out_spec)``.
@@ -122,6 +143,17 @@ class InferenceEngine:
         if getattr(model, "context", None) == "id":
             task_id = task_id_for_mode(schema, task)
 
+        if task == "elem":
+            in_scope = [c for c in schema.modeled if c.is_sequence]
+        else:
+            group = set(schema.attribute_groups[task])
+            in_scope = [
+                c for c in schema.modeled
+                if c.is_sequence and c.name in group
+            ]
+        categorical = {c.name for c in in_scope if c.is_categorical}
+        fetch_names = [c.name for c in in_scope]
+
         def raw_step(params, batch, mask_key):
             masks = build_task_masks(schema, batch, task, key=mask_key)
             tasks = None
@@ -129,9 +161,14 @@ class InferenceEngine:
                 tasks = jnp.full(
                     (batch["length"].shape[0],), task_id, dtype=jnp.int32
                 )
-            return forward_eval(
+            pred = forward_eval(
                 model, params, batch, masks, tasks=tasks, num_iter=num_iter
             )
+            return {
+                name: jnp.argmax(pred[name], axis=-1).astype(jnp.int32)
+                if name in categorical else pred[name]
+                for name in fetch_names
+            }
 
         # Output layout from abstract evaluation — no device work, no compile.
         out_spec = transport.eval_spec(
@@ -200,11 +237,16 @@ class InferenceEngine:
             fn(self.params, jnp.asarray(flat_in))
         ))
         host = transport.unpack(flat_out, out_spec)
-        # demo-only columns (strings) pass straight through for rendering
+        # Everything outside the scoped fetch — context fields, out-of-group
+        # sequence columns, demo-only strings — is provably unchanged by the
+        # device step (ground truth merged back), so it passes through from
+        # the request.  Slice to the n real documents before unbatch: the
+        # pad rows are copies of documents[-1].
         for k, v in batch.items():
-            if v.dtype == object and k not in host:
+            if k not in host:
                 host[k] = v
-        return [_jsonable(d) for d in self.spec.unbatch(host)[:n]]
+        host = {k: np.asarray(v)[:n] for k, v in host.items()}
+        return [_jsonable(d) for d in self.spec.unbatch(host)]
 
     def schema_info(self) -> Dict:
         return {
