@@ -15,7 +15,9 @@ inference service:
   - ``GET /schema`` → dataset/field metadata
   - ``POST /predict`` → ``{"task": "pos", "documents": [...],
     "num_iter": 1}`` → predicted documents (only masked fields change:
-    ground truth is merged back, reference mfp.py:46-69).
+    ground truth is merged back, reference mfp.py:46-69).  Optional
+    ``"fields": "changed"`` returns only the task-modifiable columns,
+    keeping feature-heavy request payloads out of the response.
 
 Task modes mirror the eval harness: ``elem`` masks one (given or random)
 element, the attribute groups (``pos``/``attr``/``img``/``txt``/``type``)
@@ -198,13 +200,25 @@ class InferenceEngine:
         task: str = "pos",
         num_iter: int = 1,
         seed: int = 0,
+        fields: str = "all",
     ) -> List[Dict]:
-        """Documents -> documents with the task's masked fields predicted."""
+        """Documents -> documents with the task's masked fields predicted.
+
+        ``fields="all"`` (default) returns complete documents, unchanged
+        columns echoed from the request.  ``fields="changed"`` returns only
+        the columns the task could have modified (the device-fetched set) —
+        for feature-heavy documents this drops the untouched 768-dim
+        image/text embeddings from the response entirely.
+        """
         import jax
         import jax.numpy as jnp
 
         if task not in self.tasks:
             raise ValueError(f"unknown task {task!r}; one of {self.tasks}")
+        if fields not in ("all", "changed"):
+            raise ValueError(
+                f"fields must be 'all' or 'changed', got {fields!r}"
+            )
         if not documents:
             return []
         n = len(documents)
@@ -213,7 +227,7 @@ class InferenceEngine:
             for start in range(0, n, self.batch_size):
                 out.extend(self.predict(
                     documents[start:start + self.batch_size],
-                    task, num_iter, seed,
+                    task, num_iter, seed, fields,
                 ))
             return out
 
@@ -242,9 +256,12 @@ class InferenceEngine:
         # device step (ground truth merged back), so it passes through from
         # the request.  Slice to the n real documents before unbatch: the
         # pad rows are copies of documents[-1].
-        for k, v in batch.items():
-            if k not in host:
-                host[k] = v
+        if fields == "all":
+            for k, v in batch.items():
+                if k not in host:
+                    host[k] = v
+        else:
+            host["length"] = np.asarray(batch["length"])  # unbatch needs it
         host = {k: np.asarray(v)[:n] for k, v in host.items()}
         return [_jsonable(d) for d in self.spec.unbatch(host)]
 
@@ -305,6 +322,7 @@ def make_handler(engine: InferenceEngine):
                     task=req.get("task", "pos"),
                     num_iter=int(req.get("num_iter", 1)),
                     seed=int(req.get("seed", 0)),
+                    fields=req.get("fields", "all"),
                 )
                 self._send(200, {"predictions": predictions})
             except (KeyError, ValueError, TypeError) as e:

@@ -71,6 +71,20 @@ def test_engine_predicts_masked_fields(tiny_job, rico_spec):
     preds5 = engine.predict(docs + docs[:2], task="elem")
     assert len(preds5) == 5
 
+    # fields="changed": only the task-modifiable columns come back, equal
+    # to the full response restricted to those fields
+    changed = engine.predict(docs, task="pos", fields="changed")
+    assert len(changed) == 3
+    for full, thin in zip(preds, changed):
+        assert len(thin["elements"]) == len(full["elements"])
+        for el_full, el_thin in zip(full["elements"], thin["elements"]):
+            assert set(el_thin) == {"left", "top", "width", "height"}
+            assert all(el_thin[k] == el_full[k] for k in el_thin)
+        assert "elements" in thin and "type" not in thin["elements"][0]
+
+    with pytest.raises(ValueError):
+        engine.predict(docs, task="pos", fields="nope")
+
 
 @pytest.mark.slow
 def test_packed_transport_is_lossless(tiny_job, rico_spec):

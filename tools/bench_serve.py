@@ -115,6 +115,11 @@ def main(argv=None):
         port, {"task": "pos", "documents": docs[:1]}, args.requests)
     result[f"pos_{args.batch_size}doc"] = _latency(
         port, {"task": "pos", "documents": docs}, args.requests)
+    # fields="changed": response carries only the task-modifiable columns
+    # (same device work; measures the JSON echo cost of full documents).
+    result[f"pos_{args.batch_size}doc_changed"] = _latency(
+        port, {"task": "pos", "documents": docs, "fields": "changed"},
+        args.requests)
     result[f"elem_1doc_iter{args.num_iter}"] = _latency(
         port, {"task": "elem", "num_iter": args.num_iter,
                "documents": docs[:1]}, args.requests)
