@@ -83,16 +83,27 @@ def load_model(job_dir: str, checkpoint: str = "best", batch_size: int = 8,
     return model, params, spec
 
 
-def build_task_masks(schema, batch, task: str, key=None):
-    """Masks for a demo task: 'elem' masks one element, groups mask fields."""
+def build_task_masks(schema, batch, task: str, key=None, element=None):
+    """Masks for a demo task: 'elem' masks one element, groups mask fields.
+
+    ``element`` (elem task only): a (B,) int32 array of element indices to
+    mask instead of a random draw — the interactive "regenerate THIS
+    element" path.  Indices are intersected with the valid-sequence mask,
+    so an out-of-range index masks nothing (prediction == ground truth).
+    """
     seq_mask = get_seq_mask(batch["length"], schema.max_length)
     if task == "elem":
         from .models.masking import select_single_element
 
         masks = get_initial_masks(schema, seq_mask)
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        sel = select_single_element(seq_mask, key)
+        if element is not None:
+            sel = jax.nn.one_hot(
+                element, schema.max_length, dtype=jnp.int32
+            ).astype(bool) & seq_mask
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            sel = select_single_element(seq_mask, key)
         for c in schema.modeled:
             if c.is_sequence:
                 masks[c.name] = sel
@@ -121,12 +132,16 @@ def run_demo(
     split: str = "test",
     data_dir_override: Optional[str] = None,
     timings: Optional[Dict[str, float]] = None,
+    element: Optional[int] = None,
 ) -> str:
     """Render GT / masked-input / prediction rows to ``out_path``.
 
     ``timings``: pass a dict to receive a per-stage wall-time breakdown
     (seconds) — used by ``tools/profile_demo.py`` so the measured path IS
-    the production path."""
+    the production path.
+
+    ``element`` (elem task only): pin which element index is masked in
+    every rendered example instead of the default random draw."""
     import time as _time
 
     t0 = _time.perf_counter()
@@ -175,9 +190,21 @@ def run_demo(
     numeric = {k: np.asarray(v) for k, v in split_device_batch(host).items()}
     in_spec = transport.batch_spec(numeric)
 
+    if element is not None and task != "elem":
+        raise ValueError(
+            f"element= is only valid for task='elem', got {task!r}"
+        )
+
     def _forward(params, flat, mask_key):
         batch = transport.unpack_in_jit(flat, in_spec)
-        masks = build_task_masks(schema, batch, task, key=mask_key)
+        elem_idx = None
+        if element is not None:
+            elem_idx = jnp.full(
+                (batch["length"].shape[0],), element, dtype=jnp.int32
+            )
+        masks = build_task_masks(
+            schema, batch, task, key=mask_key, element=elem_idx
+        )
         view = masked_input_view(schema, batch, masks)
         tasks = None
         if task_id is not None:
@@ -261,10 +288,13 @@ def main(argv=None):
     parser.add_argument("--out", default="demo.html")
     parser.add_argument("--checkpoint", default="best")
     parser.add_argument("--split", default="test")
+    parser.add_argument("--element", type=int, default=None,
+                        help="elem task: pin the masked element index "
+                             "(default: random per example)")
     args = parser.parse_args(argv)
     path = run_demo(
         args.job_dir, args.task, args.num_examples, args.num_iter,
-        args.out, args.checkpoint, args.split,
+        args.out, args.checkpoint, args.split, element=args.element,
     )
     print(f"wrote {path}")
 

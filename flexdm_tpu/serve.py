@@ -22,6 +22,11 @@ inference service:
 Task modes mirror the eval harness: ``elem`` masks one (given or random)
 element, the attribute groups (``pos``/``attr``/``img``/``txt``/``type``)
 mask a field group across all elements.
+
+Under load, :class:`CoalescingEngine` (on by default in the CLI,
+``--coalesce-ms``) micro-batches concurrent identical-parameter requests
+into one device step so the host<->device relay floor is paid per batch,
+not per request.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ import json
 import logging
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -40,6 +46,11 @@ import numpy as np
 from . import transport
 
 logger = logging.getLogger(__name__)
+
+# Reserved packed-transport column carrying per-document pinned element
+# indices for the elem task ("regenerate THIS element").  Dunder-named so
+# it can never collide with a schema field.
+ELEM_INDEX_KEY = "__elem_index__"
 
 
 def _jsonable(x):
@@ -157,7 +168,15 @@ class InferenceEngine:
         fetch_names = [c.name for c in in_scope]
 
         def raw_step(params, batch, mask_key):
-            masks = build_task_masks(schema, batch, task, key=mask_key)
+            # The reserved element-index column (present iff the request
+            # pinned elements) rides the packed upload like any other
+            # field; it is data, not part of the model input.
+            elem_idx = batch.pop(ELEM_INDEX_KEY, None)
+            if elem_idx is not None:
+                elem_idx = elem_idx.astype(jnp.int32)
+            masks = build_task_masks(
+                schema, batch, task, key=mask_key, element=elem_idx
+            )
             tasks = None
             if task_id is not None:
                 tasks = jnp.full(
@@ -201,6 +220,7 @@ class InferenceEngine:
         num_iter: int = 1,
         seed: int = 0,
         fields: str = "all",
+        element=None,
     ) -> List[Dict]:
         """Documents -> documents with the task's masked fields predicted.
 
@@ -209,6 +229,11 @@ class InferenceEngine:
         the columns the task could have modified (the device-fetched set) —
         for feature-heavy documents this drops the untouched 768-dim
         image/text embeddings from the response entirely.
+
+        ``element`` (elem task only): pin WHICH element is masked and
+        re-predicted — an int (same index for every document) or a
+        per-document list.  Deterministic, unlike the default random draw,
+        so it is the interactive-editing path ("regenerate element 2").
         """
         import jax
         import jax.numpy as jnp
@@ -222,12 +247,34 @@ class InferenceEngine:
         if not documents:
             return []
         n = len(documents)
+        if element is not None:
+            if task != "elem":
+                raise ValueError(
+                    f"element= is only valid for task='elem', got {task!r}"
+                )
+            if isinstance(element, (int, np.integer)):
+                element = [int(element)] * n
+            element = [int(e) for e in element]
+            if len(element) != n:
+                raise ValueError(
+                    f"element has {len(element)} entries for {n} documents"
+                )
+            S = self.schema.max_length
+            for i, (doc, e) in enumerate(zip(documents, element)):
+                n_el = min(len(doc.get("elements", [])), S)
+                if not 0 <= e < n_el:
+                    raise ValueError(
+                        f"element {e} out of range for document {i} "
+                        f"({n_el} elements)"
+                    )
         if n > self.batch_size:
             out: List[Dict] = []
             for start in range(0, n, self.batch_size):
                 out.extend(self.predict(
                     documents[start:start + self.batch_size],
                     task, num_iter, seed, fields,
+                    element[start:start + self.batch_size]
+                    if element is not None else None,
                 ))
             return out
 
@@ -238,6 +285,10 @@ class InferenceEngine:
             k: np.asarray(v) for k, v in batch.items()
             if not (v.dtype == object)
         }
+        if element is not None:
+            numeric[ELEM_INDEX_KEY] = np.asarray(
+                element + [0] * (self.batch_size - n), np.int32
+            )
         seed = int(seed)
         if not 0 <= seed < 1 << 32:
             raise ValueError(f"seed {seed} outside uint32 range")
@@ -279,6 +330,153 @@ class InferenceEngine:
                 for c in self.schema.columns
             },
         }
+
+
+@dataclasses.dataclass
+class _PendingRequest:
+    docs: List[Dict]
+    done: threading.Event
+    element: Optional[List[int]] = None
+    result: Optional[List[Dict]] = None
+    error: Optional[Exception] = None
+
+
+class CoalescingEngine:
+    """Micro-batches concurrent ``predict`` calls into shared device steps.
+
+    ``ThreadingHTTPServer`` gives every request its own thread, but each
+    1-doc ``predict`` pays the full host<->device relay round-trip for a
+    ~10 ms device step, and concurrent calls serialize at the single
+    device — N clients each sending 1 doc cost N round-trips.  This
+    wrapper holds an arriving request open for up to ``window_ms`` so
+    concurrent requests with the same ``(task, num_iter, seed, fields)``
+    ride ONE padded batch: the relay floor is paid once per coalesced
+    batch instead of once per request.
+
+    Protocol: the first request into an empty queue becomes the batch
+    leader.  It waits until the queue holds a full engine batch or the
+    window expires, then drains the WHOLE queue (a later-arriving
+    overflow simply makes the engine chunk internally — the same device
+    steps those requests would have run alone), executes one
+    ``InferenceEngine.predict``, and scatters the per-document results
+    back to each caller.  Requests arriving mid-execution start a new
+    queue with a new leader, so batches pipeline.
+
+    Semantics: group tasks (``pos``/``attr``/...) are per-row
+    deterministic, so a coalesced result is bit-identical to a solo one
+    (rows of a batch never interact; covered by tests).  ``elem``'s
+    random element draw keys on the row's position in the padded batch,
+    so under coalescing it varies with batch placement — same caveat as
+    any server-side sampling; pass distinct ``seed``s for reproducible
+    isolation (distinct seeds never coalesce).
+
+    Failure isolation: if the merged call raises (e.g. one request's
+    documents are malformed), the leader retries each request
+    individually so only the guilty request observes the error.
+
+    The reference has no serving counterpart; this is standard
+    production-inference batching (cf. any RPC batcher) implemented over
+    the engine's fixed-shape jitted steps.
+    """
+
+    def __init__(self, engine: InferenceEngine, window_ms: float = 3.0):
+        self._engine = engine
+        self._window = window_ms / 1000.0
+        self._cond = threading.Condition()
+        self._queues: Dict[tuple, List[_PendingRequest]] = {}
+
+    @property
+    def tasks(self) -> List[str]:
+        return self._engine.tasks
+
+    @property
+    def batch_size(self) -> int:
+        return self._engine.batch_size
+
+    @property
+    def spec(self):
+        return self._engine.spec
+
+    def schema_info(self) -> Dict:
+        return self._engine.schema_info()
+
+    def predict(
+        self,
+        documents: List[Dict],
+        task: str = "pos",
+        num_iter: int = 1,
+        seed: int = 0,
+        fields: str = "all",
+        element=None,
+    ) -> List[Dict]:
+        # Validate the coalescing key up front: a bad task/fields value
+        # must fail its own request, never stall or poison a batch.
+        if task not in self._engine.tasks:
+            raise ValueError(
+                f"unknown task {task!r}; one of {self._engine.tasks}"
+            )
+        if fields not in ("all", "changed"):
+            raise ValueError(
+                f"fields must be 'all' or 'changed', got {fields!r}"
+            )
+        if not documents:
+            return []
+        if element is not None and isinstance(element, (int, np.integer)):
+            element = [int(element)] * len(documents)
+        # element values are per-document data, so requests with DIFFERENT
+        # pinned elements still merge — only pinned-vs-random differ by
+        # jitted program and must not share a batch.
+        key = (task, int(num_iter), int(seed), fields, element is not None)
+        req = _PendingRequest(list(documents), threading.Event(), element)
+        with self._cond:
+            queue = self._queues.setdefault(key, [])
+            leader = not queue  # first into an empty queue leads the batch
+            queue.append(req)
+            if not leader:
+                self._cond.notify_all()
+        if not leader:
+            req.done.wait()
+            if req.error is not None:
+                raise req.error
+            return req.result
+
+        bs = self._engine.batch_size
+        deadline = time.monotonic() + self._window
+        with self._cond:
+            while sum(len(r.docs) for r in self._queues[key]) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cond.wait(remaining):
+                    break
+            take = self._queues.pop(key)
+
+        batch_docs = [d for r in take for d in r.docs]
+        batch_elem = None
+        if element is not None:
+            batch_elem = [e for r in take for e in r.element]
+        try:
+            preds = self._engine.predict(
+                batch_docs, task, num_iter, seed, fields, batch_elem
+            )
+            i = 0
+            for r in take:
+                r.result = preds[i:i + len(r.docs)]
+                i += len(r.docs)
+        except Exception:
+            if len(take) == 1:
+                raise
+            for r in take:  # isolate the failure to the guilty request
+                try:
+                    r.result = self._engine.predict(
+                        r.docs, task, num_iter, seed, fields, r.element
+                    )
+                except Exception as e:
+                    r.error = e
+        finally:
+            for r in take:
+                r.done.set()
+        if req.error is not None:
+            raise req.error
+        return req.result
 
 
 def make_handler(engine: InferenceEngine):
@@ -323,6 +521,7 @@ def make_handler(engine: InferenceEngine):
                     num_iter=int(req.get("num_iter", 1)),
                     seed=int(req.get("seed", 0)),
                     fields=req.get("fields", "all"),
+                    element=req.get("element"),
                 )
                 self._send(200, {"predictions": predictions})
             except (KeyError, ValueError, TypeError) as e:
@@ -352,6 +551,12 @@ def main(argv=None):
                         help="override the data dir recorded in args.json")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8077)
+    parser.add_argument(
+        "--coalesce-ms", dest="coalesce_ms", type=float, default=3.0,
+        help="micro-batch concurrent identical-parameter requests into one "
+             "device step, waiting up to this long to fill a batch "
+             "(0 disables)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -361,6 +566,8 @@ def main(argv=None):
     engine = InferenceEngine(
         args.job_dir, args.checkpoint, args.batch_size, args.data_dir
     )
+    if args.coalesce_ms > 0:
+        engine = CoalescingEngine(engine, args.coalesce_ms)
     server = serve(engine, args.host, args.port)
     try:
         server.serve_forever()

@@ -182,6 +182,12 @@ def test_demo_page(tmp_path, rico_dir):
     out2 = run_demo(job, task="elem", num_examples=2, num_iter=2,
                     out_path=str(tmp_path / "d2.html"))
     assert os.path.exists(out2)
+    # pinned masked element (deterministic elem demo)
+    out3 = run_demo(job, task="elem", num_examples=2, element=0,
+                    out_path=str(tmp_path / "d3.html"))
+    assert os.path.exists(out3)
+    with pytest.raises(ValueError):
+        run_demo(job, task="pos", num_examples=2, element=0)
 
 
 def test_load_fonts_css_and_embedding(tmp_path):

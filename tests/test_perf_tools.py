@@ -106,11 +106,14 @@ def test_bench_serve_smoke(request, tmp_path):
 
     out = main([
         "--job-dir", job, "--batch-size", "2", "--requests", "2",
-        "--num_iter", "2", "--out", str(tmp_path / "serve.json"),
+        "--num_iter", "2", "--concurrency", "2",
+        "--out", str(tmp_path / "serve.json"),
     ])
     assert out["cold_pos_iter1_sec"] > 0
     for key in ("pos_1doc", "pos_2doc", "elem_1doc_iter2"):
         assert out[key]["p50_ms"] > 0
         assert out[key]["p95_ms"] >= out[key]["p50_ms"]
+    for key in ("load_serial", "load_coalesced"):
+        assert out[key]["docs_per_sec"] > 0, out[key]
     with open(tmp_path / "serve.json") as f:
         assert json.load(f)["requests"] == 2

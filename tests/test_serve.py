@@ -87,6 +87,138 @@ def test_engine_predicts_masked_fields(tiny_job, rico_spec):
 
 
 @pytest.mark.slow
+def test_elem_pinned_element(tiny_job, rico_spec):
+    """element= pins which element the elem task re-predicts: every other
+    element comes back as ground truth, and the result is deterministic
+    (seed-independent)."""
+    from flexdm_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(tiny_job, checkpoint="final", batch_size=4)
+    docs = engine_safe(rico_spec.unbatch(
+        next(iter(rico_spec.make_dataset("test", batch_size=3)))
+    ))
+    docs = [d for d in docs if len(d["elements"]) >= 2][:2]
+    assert len(docs) == 2, "fixture needs docs with >= 2 elements"
+
+    preds = engine.predict(docs, task="elem", element=1, seed=7)
+    for doc, pred in zip(docs, preds):
+        assert len(pred["elements"]) == len(doc["elements"])
+        for i, (el_in, el_out) in enumerate(
+            zip(doc["elements"], pred["elements"])
+        ):
+            if i != 1:  # untouched elements echo ground truth exactly
+                assert el_out == el_in, f"element {i} changed"
+
+    # deterministic: the seed only feeds the random draw, which a pinned
+    # element bypasses
+    again = engine.predict(docs, task="elem", element=1, seed=99)
+    assert again == preds
+
+    # per-document list form
+    listed = engine.predict(docs, task="elem", element=[1, 0], seed=7)
+    assert listed[0] == preds[0]
+    assert listed[1]["elements"][1] == docs[1]["elements"][1]
+
+    with pytest.raises(ValueError):
+        engine.predict(docs, task="elem", element=len(docs[0]["elements"]))
+    with pytest.raises(ValueError):
+        engine.predict(docs, task="pos", element=0)
+    with pytest.raises(ValueError):
+        engine.predict(docs, task="elem", element=[0])  # wrong length
+
+
+@pytest.mark.slow
+def test_coalescing_engine(tiny_job, rico_spec):
+    """Concurrent 1-doc predicts merge into one underlying engine call and
+    return bit-identical results to solo calls (batch rows never interact
+    for group tasks)."""
+    from flexdm_tpu.serve import CoalescingEngine, InferenceEngine
+
+    inner = InferenceEngine(tiny_job, checkpoint="final", batch_size=4)
+    calls = []
+    real_predict = inner.predict
+
+    def counting_predict(docs, *a, **kw):
+        calls.append(len(docs))
+        return real_predict(docs, *a, **kw)
+
+    inner.predict = counting_predict
+    engine = CoalescingEngine(inner, window_ms=500.0)
+
+    docs = engine_safe(rico_spec.unbatch(
+        next(iter(rico_spec.make_dataset("test", batch_size=4)))
+    ))
+    solo = [inner.predict([d], task="pos")[0] for d in docs]  # also warms jit
+    calls.clear()
+
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = engine.predict([docs[i]], task="pos")[0]
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    # all four coalesced into one (or at worst two) underlying calls
+    assert len(calls) < 4, calls
+    assert sum(calls) == 4
+    for got, want in zip(results, solo):
+        assert got == want
+
+    # empty request and bad params fail fast without touching a queue
+    assert engine.predict([], task="pos") == []
+    with pytest.raises(ValueError):
+        engine.predict(docs[:1], task="nope")
+    with pytest.raises(ValueError):
+        engine.predict(docs[:1], task="pos", fields="nope")
+
+
+@pytest.mark.slow
+def test_coalescing_isolates_failures(tiny_job, rico_spec):
+    """A malformed request merged with good ones fails alone: the leader
+    retries per-request so batchmates still get their predictions."""
+    from flexdm_tpu.serve import CoalescingEngine, InferenceEngine
+
+    inner = InferenceEngine(tiny_job, checkpoint="final", batch_size=4)
+    engine = CoalescingEngine(inner, window_ms=500.0)
+    docs = engine_safe(rico_spec.unbatch(
+        next(iter(rico_spec.make_dataset("test", batch_size=2)))
+    ))
+    inner.predict([docs[0]], task="pos")  # warm the jit cache
+
+    # a non-dict element raises in batch_documents (missing fields are
+    # tolerated by design — defaults fill in)
+    bad_doc = {"elements": [5]}
+    outcomes = {}
+
+    def worker(name, payload):
+        try:
+            outcomes[name] = ("ok", engine.predict(payload, task="pos"))
+        except Exception as e:
+            outcomes[name] = ("err", e)
+
+    threads = [
+        threading.Thread(target=worker, args=("good0", [docs[0]])),
+        threading.Thread(target=worker, args=("bad", [bad_doc])),
+        threading.Thread(target=worker, args=("good1", [docs[1]])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert outcomes["bad"][0] == "err"
+    assert outcomes["good0"][0] == "ok" and len(outcomes["good0"][1]) == 1
+    assert outcomes["good1"][0] == "ok" and len(outcomes["good1"][1]) == 1
+
+
+@pytest.mark.slow
 def test_packed_transport_is_lossless(tiny_job, rico_spec):
     """The single-buffer float32 transport (one upload + one fetch per
     request) must be bit-equivalent to running forward_eval directly on

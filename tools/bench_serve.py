@@ -62,6 +62,51 @@ def _latency(port, payload, requests):
     }
 
 
+def _concurrent_load(port, doc, clients, requests_per_client):
+    """N client threads each firing 1-doc ``pos`` requests back-to-back.
+
+    Returns aggregate docs/s plus per-request latency quantiles — the
+    serving-under-load number the coalescing engine exists for."""
+    ms = []
+    errors = []
+    lock = threading.Lock()
+
+    def client(cid):
+        for i in range(requests_per_client):
+            payload = {"task": "pos", "documents": [doc]}
+            t0 = time.perf_counter()
+            try:
+                out = _post(port, payload)
+                assert "predictions" in out, out
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+                return
+            with lock:
+                ms.append(1000 * (time.perf_counter() - t0))
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if errors:
+        return {"errors": errors[:3]}
+    ms.sort()
+    n = len(ms)
+    return {
+        "clients": clients,
+        "requests": n,
+        "docs_per_sec": round(n / wall, 1),
+        "p50_ms": round(statistics.median(ms), 1),
+        "p95_ms": round(ms[min(n - 1, int(0.95 * n))], 1),
+        "max_ms": round(ms[-1], 1),
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--job-dir", dest="job_dir", required=True)
@@ -70,6 +115,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--requests", type=int, default=30)
     parser.add_argument("--num_iter", type=int, default=4)
+    parser.add_argument("--concurrency", type=int, default=8,
+                        help="client threads for the under-load phase "
+                             "(0 skips it)")
+    parser.add_argument("--coalesce-ms", type=float, default=3.0)
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -123,6 +172,24 @@ def main(argv=None):
     result[f"elem_1doc_iter{args.num_iter}"] = _latency(
         port, {"task": "elem", "num_iter": args.num_iter,
                "documents": docs[:1]}, args.requests)
+
+    if args.concurrency > 1:
+        # Under-load phase: N concurrent clients, coalescing off vs on.
+        # Both servers share the engine (and its warm jit cache), so the
+        # difference is purely the request batcher.
+        from flexdm_tpu.serve import CoalescingEngine
+
+        per_client = max(4, args.requests // 2)
+        result["load_serial"] = _concurrent_load(
+            port, docs[0], args.concurrency, per_client)
+        co_server = serve(
+            CoalescingEngine(engine, args.coalesce_ms), port=0)
+        co_port = co_server.server_address[1]
+        threading.Thread(
+            target=co_server.serve_forever, daemon=True).start()
+        result["load_coalesced"] = _concurrent_load(
+            co_port, docs[0], args.concurrency, per_client)
+        co_server.shutdown()
 
     server.shutdown()
     print(json.dumps(result, indent=1))
