@@ -26,7 +26,9 @@ mask a field group across all elements.
 Under load, :class:`CoalescingEngine` (on by default in the CLI,
 ``--coalesce-ms``) micro-batches concurrent identical-parameter requests
 into one device step so the host<->device relay floor is paid per batch,
-not per request.
+not per request.  ``--warmup pos:1,elem:4`` pre-compiles those steps
+before the server goes live, so no client request ever pays the remote
+cold compile (minutes on this platform).
 """
 
 from __future__ import annotations
@@ -316,6 +318,42 @@ class InferenceEngine:
         host = {k: np.asarray(v)[:n] for k, v in host.items()}
         return [_jsonable(d) for d in self.spec.unbatch(host)]
 
+    def warmup(self, tasks=(("pos", 1),), split: str = "test") -> Dict:
+        """Compile the jitted step for each ``(task, num_iter)`` up front.
+
+        On this platform the first execution of a program pays the remote
+        XLA compile (measured 264–437 s for the pos step) — without
+        warmup, the first CLIENT request eats that.  Runs one real
+        document from ``split`` through ``predict`` per entry; returns
+        ``{f"{task}/{num_iter}": seconds}``.  Failures are logged and
+        skipped (e.g. the job's data dir moved and no override was
+        given) — the server still starts, requests just compile lazily.
+        """
+        timings: Dict[str, float] = {}
+        try:
+            from .data import split_device_batch
+
+            host = next(iter(self.spec.make_dataset(split, batch_size=1)))
+            doc = _jsonable(self.spec.unbatch(split_device_batch(host))[0])
+        except Exception as e:
+            logger.warning("warmup skipped: could not load a %s document "
+                           "(%s: %s)", split, type(e).__name__, e)
+            return timings
+        for task, num_iter in tasks:
+            t0 = time.perf_counter()
+            try:
+                self.predict([doc], task=task, num_iter=int(num_iter))
+            except Exception as e:
+                logger.warning("warmup %s/%s failed: %s: %s",
+                               task, num_iter, type(e).__name__, e)
+                continue
+            timings[f"{task}/{num_iter}"] = round(
+                time.perf_counter() - t0, 2
+            )
+            logger.info("warmed %s/%s in %.1f s", task, num_iter,
+                        timings[f"{task}/{num_iter}"])
+        return timings
+
     def schema_info(self) -> Dict:
         return {
             "dataset": self.spec.name,
@@ -557,6 +595,12 @@ def main(argv=None):
              "device step, waiting up to this long to fill a batch "
              "(0 disables)",
     )
+    parser.add_argument(
+        "--warmup", default=None, metavar="TASK:ITER,...",
+        help="compile these (task, num_iter) steps before serving so the "
+             "first client request does not pay the cold compile, e.g. "
+             "'pos:1,elem:4' (default: compile lazily on first request)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -566,6 +610,12 @@ def main(argv=None):
     engine = InferenceEngine(
         args.job_dir, args.checkpoint, args.batch_size, args.data_dir
     )
+    if args.warmup:
+        entries = []
+        for part in args.warmup.split(","):
+            task, _, it = part.strip().partition(":")
+            entries.append((task, int(it) if it else 1))
+        engine.warmup(entries)
     if args.coalesce_ms > 0:
         engine = CoalescingEngine(engine, args.coalesce_ms)
     server = serve(engine, args.host, args.port)

@@ -87,6 +87,27 @@ def test_engine_predicts_masked_fields(tiny_job, rico_spec):
 
 
 @pytest.mark.slow
+def test_engine_warmup(tiny_job):
+    """warmup() pre-compiles the requested (task, num_iter) steps from a
+    real split document; failures degrade to lazy compilation."""
+    from flexdm_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(tiny_job, checkpoint="final", batch_size=2)
+    assert not engine._steps
+    t = engine.warmup([("pos", 1), ("elem", 2)])
+    assert set(t) == {"pos/1", "elem/2"} and all(v > 0 for v in t.values())
+    assert len(engine._steps) == 2
+
+    # unknown task: logged + skipped, server still usable
+    t2 = engine.warmup([("nope", 1)])
+    assert t2 == {}
+
+    # unloadable document source (e.g. moved data dir): warmup skips
+    # entirely instead of raising
+    assert engine.warmup(split="no_such_split") == {}
+
+
+@pytest.mark.slow
 def test_elem_pinned_element(tiny_job, rico_spec):
     """element= pins which element the elem task re-predicts: every other
     element comes back as ground truth, and the result is deterministic
